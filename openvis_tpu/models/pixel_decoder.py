@@ -1,0 +1,227 @@
+"""MSDeformAttn pixel decoder (deformable encoder + FPN tail), TPU-native.
+
+Rebuild of the reference's ``MSDeformAttnPixelDecoder``
+(``openvis/modeling/pixel_decoder/msdeformattn.py:38-380``) and the
+``MSDeformAttn`` module (``ops/modules/ms_deform_attn.py:34-125``):
+
+  * 1x1 input projections (+GroupNorm-32) on {res3,res4,res5};
+  * 6 deformable self-attention encoder layers over the flattened 3-level
+    token sequence (post-norm, FFN 1024, ReLU), with per-level learned
+    ``level_embed`` added to the sine PE;
+  * FPN lateral fusion down to stride-4 ``mask_features`` (1x1 lateral +
+    bilinear top-down + 3x3 output conv, GroupNorm-32);
+  * SAN hook: ``extra_features`` (CLIP taps) are bilinearly resized and added
+    onto the projected sources (``msdeformattn.py:338-344``).
+
+All feature maps are NHWC; level spatial shapes are static per trace.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from openvis_tpu.models.position_encoding import position_encoding_2d
+from openvis_tpu.ops.msda import ms_deform_attn
+
+
+def _ring_bias_init(n_heads: int, n_levels: int, n_points: int):
+    """Reference ``MSDeformAttn._reset_parameters``: initial sampling offsets
+    lay each head's points on a ring, scaled by point index."""
+    thetas = np.arange(n_heads, dtype=np.float64) * (2.0 * math.pi / n_heads)
+    grid = np.stack([np.cos(thetas), np.sin(thetas)], axis=-1)  # (nh, 2)
+    grid = grid / np.abs(grid).max(axis=-1, keepdims=True)
+    grid = np.tile(grid[:, None, None, :], (1, n_levels, n_points, 1))
+    for i in range(n_points):
+        grid[:, :, i, :] *= i + 1
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.asarray(grid.reshape(-1), dtype=dtype)
+
+    return init
+
+
+class MSDeformAttnModule(nn.Module):
+    """Deformable attention module: value proj + offset/weight heads + op."""
+
+    d_model: int = 256
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,            # (B, Lq, C) — content + positional
+        reference_points: jax.Array, # (B, Lq, n_levels, 2) normalized
+        value_src: jax.Array,        # (B, Len_in, C)
+        spatial_shapes: Sequence[Tuple[int, int]],
+    ) -> jax.Array:
+        b, lq, _ = query.shape
+        nh, nl, p = self.n_heads, self.n_levels, self.n_points
+        ch = self.d_model // nh
+
+        value = nn.Dense(self.d_model, name="value_proj")(value_src)
+        value = value.reshape(b, -1, nh, ch)
+
+        offsets = nn.Dense(
+            nh * nl * p * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=_ring_bias_init(nh, nl, p),
+            name="sampling_offsets",
+        )(query).reshape(b, lq, nh, nl, p, 2)
+        attn = nn.Dense(
+            nh * nl * p,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="attention_weights",
+        )(query).reshape(b, lq, nh, nl * p)
+        attn = jax.nn.softmax(attn, axis=-1).reshape(b, lq, nh, nl, p)
+
+        # offsets normalized by each level's (W, H)
+        normalizer = jnp.asarray(
+            [[w, h] for (h, w) in spatial_shapes], dtype=offsets.dtype
+        )  # (nl, 2)
+        loc = reference_points[:, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
+        out = ms_deform_attn(value, spatial_shapes, loc, attn)
+        return nn.Dense(self.d_model, name="output_proj")(out)
+
+
+class MSDeformAttnEncoderLayer(nn.Module):
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, src, pos, reference_points, spatial_shapes):
+        attn_out = MSDeformAttnModule(
+            self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn"
+        )(src + pos, reference_points, src, spatial_shapes)
+        src = nn.LayerNorm(name="norm1")(src + attn_out)
+        ff = nn.Dense(self.d_ffn, name="linear1")(src)
+        ff = nn.Dense(self.d_model, name="linear2")(nn.relu(ff))
+        return nn.LayerNorm(name="norm2")(src + ff)
+
+
+def encoder_reference_points(spatial_shapes, dtype=jnp.float32) -> jnp.ndarray:
+    """(Len_in, n_levels, 2) normalized (x, y) reference point per token,
+    broadcast across levels (valid ratios are 1: one padded canvas per batch)."""
+    pts = []
+    for (h, w) in spatial_shapes:
+        ys = (jnp.arange(h, dtype=dtype) + 0.5) / h
+        xs = (jnp.arange(w, dtype=dtype) + 0.5) / w
+        yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+        pts.append(jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1))
+    ref = jnp.concatenate(pts, axis=0)  # (Len_in, 2)
+    nl = len(spatial_shapes)
+    return jnp.broadcast_to(ref[:, None, :], (ref.shape[0], nl, 2))
+
+
+class MSDeformAttnEncoder(nn.Module):
+    num_layers: int = 6
+    d_model: int = 256
+    d_ffn: int = 1024
+    n_levels: int = 3
+    n_heads: int = 8
+    n_points: int = 4
+
+    @nn.compact
+    def __call__(self, src, pos, spatial_shapes):
+        b = src.shape[0]
+        ref = encoder_reference_points(spatial_shapes, src.dtype)
+        ref = jnp.broadcast_to(ref[None], (b, *ref.shape))
+        for i in range(self.num_layers):
+            src = MSDeformAttnEncoderLayer(
+                self.d_model, self.d_ffn, self.n_levels, self.n_heads,
+                self.n_points, name=f"layer{i}",
+            )(src, pos, ref, spatial_shapes)
+        return src
+
+
+def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
+    """NHWC bilinear resize, half-pixel centers (= torch align_corners=False)."""
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+
+
+class MSDeformAttnPixelDecoder(nn.Module):
+    """Returns (mask_features, transformer_encoder_feature, multi_scale_features).
+
+    multi_scale_features are the 3 encoder output levels in top-down order
+    (stride 32, 16, 8) as NHWC maps; mask_features is the stride-4 map.
+    """
+
+    conv_dim: int = 256
+    mask_dim: int = 256
+    transformer_in_features: Sequence[str] = ("res3", "res4", "res5")
+    enc_layers: int = 6
+    n_heads: int = 8
+    n_points: int = 4
+    d_ffn: int = 1024
+    common_stride: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Dict[str, jax.Array],
+        extra_features: Optional[List[jax.Array]] = None,
+    ):
+        nl = len(self.transformer_in_features)
+        # top-down order: res5, res4, res3
+        tif = list(self.transformer_in_features)[::-1]
+
+        level_embed = self.param(
+            "level_embed", nn.initializers.normal(1.0), (nl, self.conv_dim)
+        )
+        srcs, poses, shapes = [], [], []
+        for idx, f in enumerate(tif):
+            x = features[f]
+            h, w = x.shape[1], x.shape[2]
+            s = nn.Conv(self.conv_dim, (1, 1), name=f"input_proj{idx}_conv")(x)
+            s = nn.GroupNorm(num_groups=32, name=f"input_proj{idx}_norm")(s)
+            if extra_features is not None:
+                ex = extra_features[idx]
+                if ex.shape[1:3] != (h, w):
+                    ex = resize_bilinear(ex, (h, w))
+                s = s + ex
+            pe = position_encoding_2d(h, w, self.conv_dim // 2).astype(s.dtype)
+            srcs.append(s.reshape(s.shape[0], h * w, self.conv_dim))
+            poses.append((pe.reshape(1, h * w, self.conv_dim) + level_embed[idx]))
+            shapes.append((h, w))
+
+        src = jnp.concatenate(srcs, axis=1)
+        pos = jnp.concatenate(poses, axis=1)
+        y = MSDeformAttnEncoder(
+            self.enc_layers, self.conv_dim, self.d_ffn, nl, self.n_heads,
+            self.n_points, name="encoder",
+        )(src, pos, shapes)
+
+        # split back to maps (top-down: 1/32, 1/16, 1/8)
+        outs = []
+        start = 0
+        for (h, w) in shapes:
+            outs.append(y[:, start : start + h * w].reshape(-1, h, w, self.conv_dim))
+            start += h * w
+
+        # FPN tail down to common_stride (res2 @ 1/4)
+        fpn_features = [f for f in ("res2", "res3", "res4") if f not in self.transformer_in_features][::-1]
+        for idx, f in enumerate(fpn_features):
+            x = features[f]
+            lat = nn.Conv(self.conv_dim, (1, 1), use_bias=False, name=f"adapter{idx}_conv")(x)
+            lat = nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm")(lat)
+            topdown = resize_bilinear(outs[-1], (x.shape[1], x.shape[2]))
+            z = lat + topdown
+            z = nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=False, name=f"layer{idx}_conv")(z)
+            z = nn.GroupNorm(num_groups=32, name=f"layer{idx}_norm")(z)
+            outs.append(nn.relu(z))
+
+        mask_features = nn.Conv(self.mask_dim, (1, 1), name="mask_features")(outs[-1])
+        multi_scale_features = outs[:3]
+        return mask_features, outs[0], multi_scale_features

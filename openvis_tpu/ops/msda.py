@@ -1,0 +1,136 @@
+"""Multi-scale deformable attention (MSDeformAttn) — TPU-native.
+
+Rebuild of the reference's only native op (CUDA
+``ms_deformable_im2col_cuda`` / ``col2im``, see
+``openvis/modeling/pixel_decoder/ops/src/cuda/ms_deform_im2col_cuda.cuh`` and
+the ``grid_sample`` oracle ``ops/functions/ms_deform_attn_func.py:52-72``).
+
+Semantics: for each query, each head samples ``P`` bilinear points per
+feature level (zero padding outside, ``align_corners=False`` convention:
+pixel coordinate = loc * size - 0.5) and reduces them with softmaxed
+attention weights.
+
+TPU design: instead of the CUDA scatter/atomic ``col2im`` backward, the
+forward is expressed as 4-corner vectorized gathers (`take_along_axis` rows
+of the per-head channel dim) that XLA lowers to efficient dynamic-gathers;
+the backward is autodiff'd (gather -> segment-sum scatter, no atomics).
+Level spatial shapes are **static** Python tuples so each (H, W) bucket
+traces once.
+
+API mirrors the reference op but drops ``level_start_index``/``im2col_step``
+(derived / unnecessary under XLA).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def ms_deform_attn(
+    value: jax.Array,                # (B, Len_in, n_heads, ch)
+    spatial_shapes: Sequence[Tuple[int, int]],  # static [(H_l, W_l)] per level
+    sampling_locations: jax.Array,   # (B, Len_q, n_heads, n_levels, n_points, 2) in [0,1]
+    attention_weights: jax.Array,    # (B, Len_q, n_heads, n_levels, n_points), softmaxed
+) -> jax.Array:                      # (B, Len_q, n_heads * ch)
+    """Multi-scale deformable attention forward (XLA composition)."""
+    b, len_in, n_heads, ch = value.shape
+    n_levels = len(spatial_shapes)
+    len_q = sampling_locations.shape[1]
+    assert sum(h * w for h, w in spatial_shapes) == len_in, (
+        f"value length {len_in} != sum of {spatial_shapes}"
+    )
+
+    # (B, n_heads, Len_in, ch): head-major so per-level slices gather rows.
+    value_t = jnp.swapaxes(value, 1, 2)
+
+    out = jnp.zeros((b, n_heads, len_q, ch), dtype=value.dtype)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, :, start : start + h * w, :]      # (B, nh, H*W, ch)
+        start += h * w
+        loc = sampling_locations[:, :, :, lvl]           # (B, Lq, nh, P, 2)
+        attn = attention_weights[:, :, :, lvl]           # (B, Lq, nh, P)
+        out = out + _sample_level(v, loc, attn, h, w)
+    out = jnp.swapaxes(out, 1, 2)                        # (B, Lq, nh, ch)
+    return out.reshape(b, len_q, n_heads * ch)
+
+
+def _sample_level(v, loc, attn, h: int, w: int):
+    """Bilinear-sample one level.
+
+    v:    (B, nh, H*W, ch)
+    loc:  (B, Lq, nh, P, 2) normalized [0,1], (x, y) order
+    attn: (B, Lq, nh, P)
+    -> (B, nh, Lq, ch)
+    """
+    b, len_q, n_heads, p, _ = loc.shape
+    ch = v.shape[-1]
+    compute_dtype = v.dtype
+
+    # grid_sample(align_corners=False): input grid in [-1,1] maps pixel
+    # centers to ((g+1)*size - 1)/2; with g = 2*loc - 1 this is loc*size - 0.5.
+    x = loc[..., 0] * w - 0.5                            # (B, Lq, nh, P)
+    y = loc[..., 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(compute_dtype)
+    ly = (y - y0).astype(compute_dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(dy: int, dx: int, wgt):
+        yy = y0i + dy
+        xx = x0i + dx
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)  # (B, Lq, nh, P)
+        # weight includes attention and zero-padding mask; fold in BEFORE the
+        # gather-sum so all 4 corners share one contraction pattern.
+        cw = (wgt * attn * inb.astype(compute_dtype))               # (B, Lq, nh, P)
+        # head-major gather: idx -> (B, nh, Lq*P)
+        idx_t = jnp.transpose(idx, (0, 2, 1, 3)).reshape(b, n_heads, len_q * p)
+        g = jnp.take_along_axis(v, idx_t[..., None], axis=2)        # (B, nh, Lq*P, ch)
+        g = g.reshape(b, n_heads, len_q, p, ch)
+        cw_t = jnp.transpose(cw, (0, 2, 1, 3))                      # (B, nh, Lq, P)
+        return jnp.einsum("bhqp,bhqpc->bhqc", cw_t, g)
+
+    one = jnp.ones((), compute_dtype)
+    return (
+        corner(0, 0, (one - ly) * (one - lx))
+        + corner(0, 1, (one - ly) * lx)
+        + corner(1, 0, ly * (one - lx))
+        + corner(1, 1, ly * lx)
+    )
+
+
+def ms_deform_attn_oracle(value, spatial_shapes, sampling_locations, attention_weights):
+    """Independent slow oracle via jax.scipy map_coordinates (order-1,
+    zero-fill) for kernel tests — mirrors ``ops/test.py``'s CUDA-vs-PyTorch
+    check pattern."""
+    from jax.scipy.ndimage import map_coordinates
+
+    b, len_in, n_heads, ch = value.shape
+    len_q = sampling_locations.shape[1]
+    out = jnp.zeros((b, len_q, n_heads, ch), dtype=jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value[:, start : start + h * w].reshape(b, h, w, n_heads, ch)
+        start += h * w
+        for bi in range(b):
+            for hd in range(n_heads):
+                img = v[bi, :, :, hd, :].astype(jnp.float32)  # (H, W, ch)
+                loc = sampling_locations[bi, :, hd, lvl]       # (Lq, P, 2)
+                attn = attention_weights[bi, :, hd, lvl]       # (Lq, P)
+                ys = loc[..., 1] * h - 0.5
+                xs = loc[..., 0] * w - 0.5
+                samples = jnp.stack(
+                    [
+                        map_coordinates(img[..., c], [ys, xs], order=1, mode="constant", cval=0.0)
+                        for c in range(ch)
+                    ],
+                    axis=-1,
+                )  # (Lq, P, ch)
+                out = out.at[bi, :, hd].add(jnp.einsum("qp,qpc->qc", attn, samples))
+    return out.reshape(b, len_q, n_heads * ch)
