@@ -1,0 +1,255 @@
+"""Set-prediction matcher + criterion (DETR/Mask2Former style), TPU-native.
+
+Rebuilds the reference's ``VideoHungarianMatcher``
+(``openvis/modeling/matcher.py:61-171``) and ``VideoSetCriterion`` /
+``VideoSetTrackingCriterion`` (``openvis/modeling/criterion.py:91-305``) as
+one fused, fixed-shape loss:
+
+  * matching cost = ``w_class * (-p[target])`` + ``w_mask * point
+    sigmoid-CE`` + ``w_dice * point dice`` on ``num_points`` shared random
+    points per batch item (``matcher.py:110-136``);
+  * assignment solved **on device** (``openvis_tpu.ops.hungarian``) instead
+    of the reference's per-item CPU scipy round-trip;
+  * losses: weighted CE over classes with ``eos_coef`` empty weight
+    (``criterion.py:123-137``) + point-sampled sigmoid-CE / dice mask losses
+    with 3x oversampled, 0.75-importance uncertainty sampling
+    (``criterion.py:156-181``);
+  * ``num_masks`` is ``psum``-ed over the data mesh axis
+    (``criterion.py:220-224``'s all_reduce);
+  * aux layers: predictions arrive stacked on a leading layer axis and the
+    whole (match + loss) is ``lax.map``-ped over it, re-matching per layer
+    like ``criterion.py:231-237``.  The tracking variant matches once on
+    ``matcher_outputs`` and reuses the indices (``criterion.py:258-305``).
+
+Targets are the padded ``ClipTargets`` structure: invalid instance slots get
+constant matcher-cost rows (which provably don't perturb the optimum of the
+valid rows) and zero loss weight.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openvis_tpu.ops.hungarian import batched_hungarian
+from openvis_tpu.ops.point_sample import point_sample, uncertain_point_coords
+from openvis_tpu.structures import ClipTargets
+
+
+@dataclass(frozen=True)
+class CriterionSettings:
+    num_classes: int
+    class_weight: float = 2.0
+    mask_weight: float = 5.0
+    dice_weight: float = 5.0
+    eos_coef: float = 0.1
+    num_points: int = 12544
+    oversample_ratio: float = 3.0
+    importance_sample_ratio: float = 0.75
+    deep_supervision: bool = True
+    use_class_loss: bool = True
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def match_costs(
+    rng: jax.Array,
+    pred_logits: Optional[jax.Array],  # (B, Q, C+1)
+    pred_masks: jax.Array,             # (B, Q, T, H, W)
+    targets: ClipTargets,
+    s: CriterionSettings,
+) -> jax.Array:
+    """(B, N, Q) cost matrix (rows = targets), constant rows for invalid."""
+    b, q, t, h, w = pred_masks.shape
+    n = targets.labels.shape[1]
+    p = s.num_points
+
+    # shared random points per batch item (matcher.py:110)
+    coords = jax.random.uniform(rng, (b, 1, p, 2), dtype=jnp.float32)
+
+    pm = pred_masks.astype(jnp.float32).reshape(b, q * t, h, w)
+    tm = targets.masks.astype(jnp.float32).reshape(b, n * t, *targets.masks.shape[-2:])
+    out_pts = point_sample(pm, jnp.broadcast_to(coords, (b, q * t, p, 2)))
+    tgt_pts = point_sample(tm, jnp.broadcast_to(coords, (b, n * t, p, 2)))
+    out_pts = out_pts.reshape(b, q, t * p)
+    tgt_pts = tgt_pts.reshape(b, n, t * p)
+
+    # batch sigmoid CE (matcher.py:37-58)
+    pos = _softplus(-out_pts)   # BCE target=1
+    neg = _softplus(out_pts)    # BCE target=0
+    cost_mask = (
+        jnp.einsum("bqp,bnp->bqn", pos, tgt_pts)
+        + jnp.einsum("bqp,bnp->bqn", neg, 1.0 - tgt_pts)
+    ) / (t * p)
+
+    # batch dice (matcher.py:16-31)
+    sig = jax.nn.sigmoid(out_pts)
+    numer = 2.0 * jnp.einsum("bqp,bnp->bqn", sig, tgt_pts)
+    denom = sig.sum(-1)[:, :, None] + tgt_pts.sum(-1)[:, None, :]
+    cost_dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+
+    cost = s.mask_weight * cost_mask + s.dice_weight * cost_dice
+    if pred_logits is not None and s.use_class_loss:
+        prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+        labels = jnp.clip(targets.labels, 0, prob.shape[-1] - 1)
+        cost_class = -jnp.take_along_axis(
+            prob, labels[:, None, :].repeat(q, axis=1), axis=-1
+        )  # (B, Q, N)
+        cost = cost + s.class_weight * cost_class
+
+    cost = jnp.transpose(cost, (0, 2, 1))  # (B, N, Q)
+    # constant rows for invalid targets: doesn't affect valid rows' optimum
+    return jnp.where(targets.valid[:, :, None], cost, 0.0)
+
+
+def match(
+    rng: jax.Array,
+    pred_logits: Optional[jax.Array],
+    pred_masks: jax.Array,
+    targets: ClipTargets,
+    s: CriterionSettings,
+) -> jax.Array:
+    """Returns assignment (B, N) int32: query index per target slot."""
+    cost = match_costs(rng, pred_logits, pred_masks, targets, s)
+    return jax.lax.stop_gradient(batched_hungarian(cost))
+
+
+def _loss_labels(
+    pred_logits: jax.Array,    # (B, Q, C+1)
+    assignment: jax.Array,     # (B, N)
+    targets: ClipTargets,
+    s: CriterionSettings,
+) -> jax.Array:
+    b, q, c1 = pred_logits.shape
+    no_object = c1 - 1
+    tc = jnp.full((b, q), no_object, jnp.int32)
+    upd = jnp.where(targets.valid, assignment, q)  # OOB -> dropped
+    tc = tc.at[jnp.arange(b)[:, None], upd].set(targets.labels, mode="drop")
+    logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, tc[..., None], axis=-1)[..., 0]
+    w = jnp.where(tc == no_object, s.eos_coef, 1.0)
+    return (w * nll).sum() / w.sum()
+
+
+def _loss_masks(
+    rng: jax.Array,
+    pred_masks: jax.Array,     # (B, Q, T, H, W)
+    assignment: jax.Array,     # (B, N)
+    targets: ClipTargets,
+    num_masks: jax.Array,
+    s: CriterionSettings,
+) -> Tuple[jax.Array, jax.Array]:
+    b, q, t, h, w = pred_masks.shape
+    n = targets.labels.shape[1]
+    src = jnp.take_along_axis(
+        pred_masks, assignment[:, :, None, None, None], axis=1
+    )  # (B, N, T, H, W)
+    rows = src.reshape(b * n * t, h, w).astype(jnp.float32)
+    th, tw = targets.masks.shape[-2:]
+    tgt_rows = targets.masks.reshape(b * n * t, th, tw).astype(jnp.float32)
+    row_w = jnp.broadcast_to(targets.valid[:, :, None], (b, n, t)).reshape(-1)
+    row_w = row_w.astype(jnp.float32)
+
+    coords = uncertain_point_coords(
+        rng, rows, s.num_points, s.oversample_ratio, s.importance_sample_ratio
+    )
+    point_logits = point_sample(rows, coords)                       # (R, P)
+    point_labels = jax.lax.stop_gradient(point_sample(tgt_rows, coords))
+
+    # sigmoid CE (criterion.py:51-69)
+    ce = _softplus(point_logits) - point_logits * point_labels
+    loss_mask = (ce.mean(-1) * row_w).sum() / num_masks
+
+    # dice (criterion.py:26-45)
+    sig = jax.nn.sigmoid(point_logits)
+    numer = 2.0 * (sig * point_labels).sum(-1)
+    denom = sig.sum(-1) + point_labels.sum(-1)
+    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
+    loss_dice = (dice * row_w).sum() / num_masks
+    return loss_mask, loss_dice
+
+
+def num_masks_normalizer(
+    targets: ClipTargets, axis_name: Optional[str] = None
+) -> jax.Array:
+    """Average valid-instance count across the data mesh axis, clamped >= 1
+    (criterion.py:220-224)."""
+    nm = targets.valid.astype(jnp.float32).sum()
+    if axis_name is not None:
+        nm = jax.lax.pmean(nm, axis_name)
+    return jnp.maximum(nm, 1.0)
+
+
+def set_criterion(
+    rng: jax.Array,
+    pred_logits_all: Optional[jax.Array],  # (L, B, Q, C+1) or None
+    pred_masks_all: jax.Array,             # (L, B, Q, T, H, W)
+    targets: ClipTargets,
+    s: CriterionSettings,
+    axis_name: Optional[str] = None,
+    fixed_assignment: Optional[jax.Array] = None,  # (B, N) reuse for all layers
+) -> Tuple[Dict[str, jax.Array], jax.Array]:
+    """Returns ``(losses, last_assignment)``.
+
+    losses: {"loss_ce": (L,), "loss_mask": (L,), "loss_dice": (L,),
+             "total": scalar} — layer L-1 is the final decoder output.
+    """
+    num_layers = pred_masks_all.shape[0]
+    nm = num_masks_normalizer(targets, axis_name)
+    rngs = jax.random.split(rng, num_layers * 2).reshape(num_layers, 2, -1)
+
+    def layer_loss(args):
+        logits, masks, keys = args
+        if fixed_assignment is None:
+            a = match(keys[0], logits, masks, targets, s)
+        else:
+            a = fixed_assignment
+        lm, ld = _loss_masks(keys[1], masks, a, targets, nm, s)
+        if logits is not None and s.use_class_loss:
+            lc = _loss_labels(logits, a, targets, s)
+        else:
+            lc = jnp.zeros(())
+        return (lc, lm, ld), a
+
+    # lax.scan over the layer axis: one traced (match + loss) instance instead
+    # of L unrolled copies — ~10x faster XLA compile, identical math.
+    def scan_body(_, xs):
+        if pred_logits_all is None:
+            masks, keys = xs
+            (lc, lm, ld), a = layer_loss((None, masks, keys))
+        else:
+            logits, masks, keys = xs
+            (lc, lm, ld), a = layer_loss((logits, masks, keys))
+        return None, ((lc, lm, ld), a)
+
+    xs = (
+        (pred_masks_all, rngs)
+        if pred_logits_all is None
+        else (pred_logits_all, pred_masks_all, rngs)
+    )
+    _, ((lcs, lms, lds), assigns) = jax.lax.scan(scan_body, None, xs)
+    last_a = assigns[-1]
+
+    losses = {
+        "loss_ce": lcs,
+        "loss_mask": lms,
+        "loss_dice": lds,
+    }
+    total = (
+        s.class_weight * losses["loss_ce"].sum()
+        + s.mask_weight * losses["loss_mask"].sum()
+        + s.dice_weight * losses["loss_dice"].sum()
+    )
+    if not s.deep_supervision:
+        total = (
+            s.class_weight * losses["loss_ce"][-1]
+            + s.mask_weight * losses["loss_mask"][-1]
+            + s.dice_weight * losses["loss_dice"][-1]
+        )
+    losses["total"] = total
+    return losses, last_a

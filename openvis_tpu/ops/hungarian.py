@@ -1,0 +1,100 @@
+"""On-device Hungarian assignment (Jonker–Volgenant style), jittable.
+
+The reference solves its 100xN linear-sum-assignment problems on the host
+with ``scipy.optimize.linear_sum_assignment`` after a device->CPU copy
+(``openvis/modeling/matcher.py:135-136``, ``openvis/modeling/minvis.py:37-38``).
+On TPU that host round-trip would serialize every train step, so we run the
+classic shortest-augmenting-path algorithm (e-maxx LSAP; same optimum as
+scipy) entirely on device with ``lax.while_loop`` / ``lax.fori_loop``:
+
+  * rows = targets (N), columns = predictions (M), N <= M;
+  * each Dijkstra relaxation step is one vectorized O(M) update, so the
+    scalar-sequential part is only the O(N^2) augmenting-path loop — tiny for
+    the 100x40 problems here and fully fused into the train step;
+  * batched via ``jax.vmap``.
+
+Exact optimality is preserved (verified against scipy in
+``tests/test_hungarian.py``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e15)
+
+
+def hungarian(cost: jax.Array) -> jax.Array:
+    """Minimum-cost assignment of N rows to distinct columns of an (N, M)
+    cost matrix, N <= M.  Returns ``col_of_row``: (N,) int32.
+
+    Ties may resolve differently than scipy but the total cost is optimal.
+    """
+    n, m = cost.shape
+    assert n <= m, f"hungarian needs rows<=cols, got {cost.shape}"
+    cost = cost.astype(jnp.float32)
+
+    def add_row(i, carry):
+        u, v, p = carry  # u:(N,) v:(M+1,) p:(M+1,) row assigned to col, -1 free
+        p = p.at[m].set(i)
+        minv = jnp.full((m,), _INF)
+        used = jnp.zeros((m + 1,), dtype=bool)
+        way = jnp.zeros((m,), dtype=jnp.int32)
+
+        def dijkstra_cond(st):
+            j0, _, _, _, _, _, p_ = st
+            return p_[j0] >= 0
+
+        def dijkstra_step(st):
+            j0, minv_, used_, way_, u_, v_, p_ = st
+            used_ = used_.at[j0].set(True)
+            i0 = p_[j0]
+            cur = cost[i0, :] - u_[i0] - v_[:m]
+            better = (cur < minv_) & jnp.logical_not(used_[:m])
+            minv_ = jnp.where(better, cur, minv_)
+            way_ = jnp.where(better, j0, way_)
+            cand = jnp.where(used_[:m], _INF, minv_)
+            j1 = jnp.argmin(cand).astype(jnp.int32)
+            delta = cand[j1]
+            # potentials: used cols push delta into their row's u and out of v
+            rows_of_used = jnp.where(used_, p_, n)  # OOB n -> dropped
+            u_ = u_.at[rows_of_used].add(delta, mode="drop")
+            v_ = v_ - jnp.where(used_, delta, 0.0)
+            minv_ = minv_ - jnp.where(used_[:m], 0.0, delta)
+            return j1, minv_, used_, way_, u_, v_, p_
+
+        j0, _, _, way, u, v, p = jax.lax.while_loop(
+            dijkstra_cond,
+            dijkstra_step,
+            (jnp.int32(m), minv, used, way, u, v, p),
+        )
+
+        def augment_cond(st):
+            j0_, _ = st
+            return j0_ != m
+
+        def augment_step(st):
+            j0_, p_ = st
+            j1 = way[j0_]
+            p_ = p_.at[j0_].set(p_[j1])
+            return j1, p_
+
+        _, p = jax.lax.while_loop(augment_cond, augment_step, (j0, p))
+        return u, v, p
+
+    u0 = jnp.zeros((n,), jnp.float32)
+    v0 = jnp.zeros((m + 1,), jnp.float32)
+    p0 = jnp.full((m + 1,), -1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, n, add_row, (u0, v0, p0))
+
+    # invert: col_of_row[p[j]] = j
+    col_of_row = jnp.zeros((n,), jnp.int32)
+    rows = jnp.where(p[:m] >= 0, p[:m], n)
+    col_of_row = col_of_row.at[rows].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop"
+    )
+    return col_of_row
+
+
+batched_hungarian = jax.vmap(hungarian)

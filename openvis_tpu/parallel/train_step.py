@@ -1,0 +1,143 @@
+"""Optimizer + sharded train step.
+
+Rebuild of the reference trainer's optimizer factory and step
+(``train_net.py:131-203`` + d2 ``SimpleTrainer.run_step``):
+
+  * AdamW, base lr with **backbone x0.1** multiplier
+    (``SOLVER.BACKBONE_MULTIPLIER``, train_net.py:160-163);
+  * weight decay 0.05, but 0 for norm scales/biases, all biases, and
+    embedding tables (``train_net.py:150-176``);
+  * frozen-BN affines (our FrozenAffine params) get **zero** updates —
+    equivalent to d2's FrozenBatchNorm2d having no trainable params;
+  * full-model grad-norm clip 0.01 (``train_net.py:177-191``);
+  * step LR schedule (gamma 0.1 at SOLVER.STEPS) with linear warmup;
+  * grads averaged across the ``data`` mesh axis by XLA (DDP equivalent).
+
+The train step is a single jitted function over global (mesh-sharded)
+arrays; bf16 compute happens inside the model (``solver.amp``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from openvis_tpu.config import Config
+
+
+def _path_str(path) -> str:
+    return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
+
+
+def label_params(params) -> Any:
+    """Label each param: 'frozen' | 'backbone' | 'backbone_nodecay' |
+    'main' | 'nodecay'."""
+
+    def label(path, x):
+        p = _path_str(path).lower()
+        frozen_affine = ("norm" in p and "scale" in p.split("/")[-1]) or (
+            "norm" in p and p.split("/")[-1] == "bias"
+        )
+        in_backbone = "/backbone/" in f"/{p}/"
+        # FrozenAffine params live under .../norm*/{scale,bias} in the backbone
+        if in_backbone and frozen_affine:
+            return "frozen"
+        nodecay = (
+            p.endswith("bias")
+            or "scale" in p.split("/")[-1]
+            or "embedding" in p
+            or "embed" in p.split("/")[-1]
+            or p.split("/")[-1] in ("query_feat", "query_embed", "level_embed",
+                                    "positional_embedding", "class_embedding",
+                                    "logit_scale", "non_object_embedding")
+            or "/ln" in p
+            or "layernorm" in p
+        )
+        if in_backbone:
+            return "backbone_nodecay" if nodecay else "backbone"
+        return "nodecay" if nodecay else "main"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_lr_schedule(cfg: Config) -> optax.Schedule:
+    s = cfg.solver
+    boundaries = {int(b): s.gamma for b in s.steps}
+    base = optax.piecewise_constant_schedule(s.base_lr, boundaries)
+    if s.warmup_iters > 0 and s.warmup_factor < 1.0:
+        warm = optax.linear_schedule(
+            s.base_lr * s.warmup_factor, s.base_lr, s.warmup_iters
+        )
+        return optax.join_schedules([warm, base], [s.warmup_iters])
+    return base
+
+
+def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
+    s = cfg.solver
+    lr = make_lr_schedule(cfg)
+
+    def adamw(mult: float, wd: float):
+        return optax.chain(
+            optax.scale_by_adam(b1=0.9, b2=0.999),
+            optax.add_decayed_weights(wd),
+            optax.scale_by_learning_rate(
+                lambda step: lr(step) * mult
+            ),
+        )
+
+    labels = label_params(params)
+    tx = optax.multi_transform(
+        {
+            "main": adamw(1.0, s.weight_decay),
+            "nodecay": adamw(1.0, s.weight_decay_norm),
+            "backbone": adamw(s.backbone_multiplier, s.weight_decay),
+            "backbone_nodecay": adamw(s.backbone_multiplier, s.weight_decay_norm),
+            "frozen": optax.set_to_zero(),
+        },
+        labels,
+    )
+    if s.clip_gradients:
+        tx = optax.chain(optax.clip_by_global_norm(s.clip_value), tx)
+    return tx
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        )
+
+
+def make_train_step(
+    loss_fn: Callable[..., Tuple[jax.Array, Dict[str, jax.Array]]],
+    tx: optax.GradientTransformation,
+):
+    """loss_fn(params, batch, rng) -> (total_loss, metrics)."""
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["total_loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(step=state.step + 1, params=new_params, opt_state=new_opt),
+            metrics,
+        )
+
+    return step

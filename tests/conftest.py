@@ -1,15 +1,6 @@
-import os
+"""Tests run on a virtual 8-device CPU mesh (see root conftest.py, which
+forces JAX_PLATFORMS=cpu before any backend initializes)."""
 
-# Tests run on a virtual 8-device CPU mesh: multi-chip sharding paths are
-# exercised without TPU hardware (SURVEY.md §4d).  Must be set before jax
-# import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
-import jax  # noqa: E402
+import jax
 
 jax.config.update("jax_default_matmul_precision", "highest")

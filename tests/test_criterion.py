@@ -1,0 +1,140 @@
+"""Matcher + criterion: point sampling parity vs torch grid_sample, loss
+sanity (perfect predictions -> near-zero mask losses), padding invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvis_tpu.losses.criterion import (
+    CriterionSettings,
+    match,
+    set_criterion,
+)
+from openvis_tpu.ops.point_sample import point_sample
+from openvis_tpu.structures import ClipTargets
+
+
+def _targets(b=2, n=5, t=2, h=64, w=96, n_valid=3, num_classes=7, seed=0):
+    # draw a fixed 16-slot superset then slice, so different paddings n share
+    # identical valid instances
+    rng = np.random.RandomState(seed)
+    labels = rng.randint(0, num_classes, (b, 16)).astype(np.int32)[:, :n]
+    masks = np.zeros((b, n, t, h, w), np.float32)
+    for bi in range(b):
+        for ni in range(n_valid):
+            y0, x0 = rng.randint(0, h - 16), rng.randint(0, w - 16)
+            masks[bi, ni, :, y0 : y0 + 16, x0 : x0 + 16] = 1.0
+    valid = np.zeros((b, n), bool)
+    valid[:, :n_valid] = True
+    return ClipTargets(
+        labels=jnp.asarray(labels),
+        masks=jnp.asarray(masks),
+        valid=jnp.asarray(valid),
+        frame_valid=jnp.asarray(np.ones((b, n, t), bool)),
+    )
+
+
+def test_point_sample_matches_torch_grid_sample():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    maps = rng.randn(3, 17, 23).astype(np.float32)
+    pts = rng.rand(3, 50, 2).astype(np.float32)
+
+    ours = np.asarray(point_sample(jnp.asarray(maps), jnp.asarray(pts)))
+
+    tm = torch.from_numpy(maps)[:, None]           # (3,1,H,W)
+    grid = torch.from_numpy(pts)[:, None] * 2 - 1  # (3,1,50,2) in [-1,1]
+    ref = F.grid_sample(tm, grid, align_corners=False, mode="bilinear")
+    ref = ref[:, 0, 0].numpy()
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_perfect_prediction_low_loss():
+    tg = _targets()
+    b, n, t, h, w = tg.masks.shape
+    q, c = 10, 7
+    # predictions: queries 0..n-1 reproduce GT masks with logits +-10
+    pred_masks = np.full((b, q, t, h, w), -10.0, np.float32)
+    pred_masks[:, :n] = np.where(np.asarray(tg.masks) > 0.5, 10.0, -10.0)
+    pred_logits = np.full((b, q, c + 1), 0.0, np.float32)
+    n_valid = 3
+    for bi in range(b):
+        for ni in range(n_valid):
+            pred_logits[bi, ni, np.asarray(tg.labels)[bi, ni]] = 8.0
+        pred_logits[bi, n_valid:, c] = 8.0  # unmatched queries -> no-object
+
+    # pure random sampling: with importance sampling the points concentrate
+    # on mask boundaries, where even exact masks interpolate through logit 0.
+    s = CriterionSettings(
+        num_classes=c, num_points=512, importance_sample_ratio=0.0
+    )
+    losses, a = set_criterion(
+        jax.random.PRNGKey(0),
+        jnp.asarray(pred_logits)[None],
+        jnp.asarray(pred_masks)[None],
+        tg,
+        s,
+    )
+    a = np.asarray(a)
+    # matched queries must be the GT-reproducing ones for valid slots
+    for bi in range(b):
+        for ni in range(3):
+            assert a[bi, ni] == ni, (bi, ni, a[bi])
+    assert float(losses["loss_mask"][0]) < 0.05
+    # dice over ~20 in-mask points per row is noisy even for exact masks
+    assert float(losses["loss_dice"][0]) < 0.15
+    assert float(losses["loss_ce"][0]) < 0.01
+
+
+def test_invalid_slot_count_invariance():
+    """Adding more padded (invalid) slots must not change the losses."""
+    tg5 = _targets(n=5)
+    tg9 = _targets(n=9)  # same 3 valid instances, more padding
+    b, n, t, h, w = tg5.masks.shape
+    q, c = 12, 7
+    rng = np.random.RandomState(3)
+    pred_masks = jnp.asarray(rng.randn(b, q, t, h, w).astype(np.float32))
+    pred_logits = jnp.asarray(rng.randn(b, q, c + 1).astype(np.float32))
+    s = CriterionSettings(num_classes=c, num_points=256)
+    from scipy.optimize import linear_sum_assignment
+
+    from openvis_tpu.losses.criterion import match, match_costs
+
+    key = jax.random.PRNGKey(1)
+    a5 = np.asarray(match(key, pred_logits, pred_masks, tg5, s))
+    a9 = np.asarray(match(key, pred_logits, pred_masks, tg9, s))
+    # constant padding rows must not perturb the *optimality* of the valid
+    # rows' assignment (ties may resolve differently): check both paddings
+    # achieve the scipy-optimal cost on the valid sub-matrix (same random
+    # points for both since the point draw depends only on (key, B, P))
+    cost = np.asarray(match_costs(key, pred_logits, pred_masks, tg5, s))
+    for a in (a5, a9):
+        for b in range(cost.shape[0]):
+            sub = cost[b, :3]
+            ri, ci = linear_sum_assignment(sub)
+            ours = sub[np.arange(3), a[b, :3]].sum()
+            assert len(set(a[b, :3].tolist())) == 3
+            np.testing.assert_allclose(ours, sub[ri, ci].sum(), rtol=1e-4)
+
+
+def test_grads_flow():
+    tg = _targets()
+    b, n, t, h, w = tg.masks.shape
+    q, c = 10, 7
+    rng = np.random.RandomState(4)
+    pm = jnp.asarray(rng.randn(b, q, t, h, w).astype(np.float32))
+    pl = jnp.asarray(rng.randn(b, q, c + 1).astype(np.float32))
+    s = CriterionSettings(num_classes=c, num_points=128)
+
+    def f(pm, pl):
+        losses, _ = set_criterion(jax.random.PRNGKey(0), pl[None], pm[None], tg, s)
+        return losses["total"]
+
+    gm, gl = jax.grad(f, argnums=(0, 1))(pm, pl)
+    assert np.isfinite(np.asarray(gm)).all()
+    assert np.isfinite(np.asarray(gl)).all()
+    assert float(jnp.abs(gm).sum()) > 0
+    assert float(jnp.abs(gl).sum()) > 0
