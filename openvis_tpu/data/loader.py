@@ -1,0 +1,118 @@
+"""Train/test loaders: ratio-mixed sampling + fixed-shape batching.
+
+Rebuild of ``build_detection_train_loader`` / ``build_combined_loader`` /
+``build_detection_test_loader`` (``openvis/data/build.py:143,207,288``): the
+combined loader samples source datasets with configured ratios
+(``DATASET_RATIO``, e.g. YTVIS:COCO = 1.0:0.75, ``build.py:257-290``); here
+that's a categorical draw per sample.  Batches group samples of identical
+padded shape (orientation buckets) so every device step sees one static
+shape; a background thread prefetches.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from openvis_tpu.config import Config
+from openvis_tpu.data import catalog
+from openvis_tpu.data.mapper import (
+    CocoClipMapper,
+    YTVISClipMapper,
+    load_coco_records,
+    load_ytvis_records,
+)
+from openvis_tpu.structures import ClipTargets, ImageBatch
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack same-shape samples into (ImageBatch, ClipTargets) arrays."""
+    pixels = np.stack([s["pixels"] for s in samples])  # (B, T, H, W, 3)
+    batch = {
+        "pixels": jnp.asarray(pixels),
+        "image_sizes": jnp.asarray(np.stack([s["image_size"] for s in samples])),
+        "orig_sizes": jnp.asarray(np.stack([s["orig_size"] for s in samples])),
+        "targets": ClipTargets(
+            labels=jnp.asarray(np.stack([s["labels"] for s in samples])),
+            masks=jnp.asarray(np.stack([s["masks"] for s in samples])),
+            valid=jnp.asarray(np.stack([s["valid"] for s in samples])),
+            frame_valid=jnp.asarray(np.stack([s["frame_valid"] for s in samples])),
+        ),
+    }
+    return batch
+
+
+class TrainLoader:
+    """Infinite iterator of fixed-shape batches."""
+
+    def __init__(self, cfg: Config, seed: int = 0, prefetch: int = 2):
+        self.cfg = cfg
+        self.rng = np.random.RandomState(seed)
+        root = cfg.datasets.root
+        inp = cfg.input
+        mean, std = cfg.model.pixel_mean, cfg.model.pixel_std
+
+        self.sources = []
+        for name in cfg.datasets.train:
+            info = catalog.get(name)
+            if info.kind == "coco_clip":
+                records = load_coco_records(info, root)
+                mapper = CocoClipMapper(info, inp, mean, std)
+            else:
+                records = load_ytvis_records(info, root, is_train=True)
+                mapper = YTVISClipMapper(info, inp, mean, std, is_train=True)
+            records = [r for r in records if r.get("annotations")]
+            self.sources.append((records, mapper))
+
+        ratios = np.asarray(cfg.datasets.dataset_ratio, np.float64)
+        self.probs = ratios / ratios.sum()
+        self.batch_size = cfg.solver.ims_per_batch
+        self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _sample(self) -> Dict:
+        while True:
+            si = self.rng.choice(len(self.sources), p=self.probs)
+            records, mapper = self.sources[si]
+            rec = records[self.rng.randint(len(records))]
+            try:
+                s = mapper(self.rng, rec)
+            except FileNotFoundError:
+                continue
+            if s["valid"].any():
+                return s
+
+    def _worker(self):
+        while True:
+            samples = [self._sample()]
+            shape = samples[0]["pixels"].shape
+            while len(samples) < self.batch_size:
+                s = self._sample()
+                if s["pixels"].shape == shape:  # orientation bucket match
+                    samples.append(s)
+            self._queue.put(collate(samples))
+
+    def __iter__(self) -> Iterator[Dict]:
+        return self
+
+    def __next__(self) -> Dict:
+        return self._queue.get()
+
+
+def test_videos(cfg: Config, dataset_name: str):
+    """Yields (record, mapper-processed full-video sample) pairs for eval.
+    Test batch size is 1 video (build.py:207-241)."""
+    info = catalog.get(dataset_name)
+    root = cfg.datasets.root
+    records = load_ytvis_records(info, root, is_train=False)
+    mapper = YTVISClipMapper(
+        info, cfg.input, cfg.model.pixel_mean, cfg.model.pixel_std, is_train=False
+    )
+    rng = np.random.RandomState(0)
+    for rec in records:
+        yield rec, mapper(rng, rec)

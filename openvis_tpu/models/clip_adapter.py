@@ -1,0 +1,151 @@
+"""Mask-crop CLIP adapter (open-vocabulary classification), TPU-native.
+
+Rebuild of ``ClipAdapter`` / ``BgClipAdapter``
+(``openvis/modeling/clip_adapter/adapter.py:34-161``): binarize predicted
+masks -> per-(frame, query) bounding boxes -> top-left-anchored square crops
+-> bilinear 224^2 resample of frame and soft mask -> background zero-blend
+-> frozen CLIP image encode -> cosine * 100 against prompt-ensembled text
+embeddings.
+
+TPU deltas (fixed shapes, no host round-trips):
+  * bboxes from masked index reductions instead of ``BitMasks
+    .get_bounding_boxes`` (adapter.py:93-99);
+  * ``roi_align`` becomes a vectorized bilinear gather on a 224-point grid
+    (output pixel center sampling, matching roi_align(sampling_ratio=1));
+  * every (frame, query) slot is processed with a validity mask instead of
+    ``torch.nonzero`` compaction (adapter.py:86-90); invalid slots are
+    zero images whose logits are masked out downstream.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openvis_tpu.models.clip.model import CLIP_PIXEL_MEAN, CLIP_PIXEL_STD
+
+
+def mask_square_boxes(masks: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """masks: (R, H, W) soft [0,1].  Returns (boxes (R, 4) xyxy float,
+    valid (R,)).  Box = bbox of mask>0.5, extended to a square from the
+    top-left corner (adapter.py:93-99's sboxes)."""
+    h, w = masks.shape[-2:]
+    binm = masks > 0.5
+    valid = jnp.any(binm, axis=(-1, -2))
+    cols = jnp.any(binm, axis=-2)  # (R, W)
+    rows = jnp.any(binm, axis=-1)  # (R, H)
+    xs = jnp.arange(w)
+    ys = jnp.arange(h)
+    x0 = jnp.min(jnp.where(cols, xs, w), axis=-1)
+    x1 = jnp.max(jnp.where(cols, xs + 1, 0), axis=-1)
+    y0 = jnp.min(jnp.where(rows, ys, h), axis=-1)
+    y1 = jnp.max(jnp.where(rows, ys + 1, 0), axis=-1)
+    side = jnp.maximum(x1 - x0, y1 - y0)
+    boxes = jnp.stack(
+        [x0, y0, x0 + side, y0 + side], axis=-1
+    ).astype(jnp.float32)
+    boxes = jnp.where(valid[:, None], boxes, jnp.asarray([0, 0, 1, 1], jnp.float32))
+    return boxes, valid
+
+
+def roi_crop(
+    images: jax.Array,   # (R, H, W, C) — image per region (pre-gathered)
+    boxes: jax.Array,    # (R, 4) xyxy
+    out_size: int,
+) -> jax.Array:
+    """Bilinear crop-resize each region to (out_size, out_size)."""
+    r, h, w, c = images.shape
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    sx = (x1 - x0) / out_size
+    sy = (y1 - y0) / out_size
+    grid = jnp.arange(out_size, dtype=jnp.float32) + 0.5
+    # output pixel centers in input coords (roi_align bin centers)
+    cx = x0[:, None] + grid[None, :] * sx[:, None] - 0.5   # (R, S)
+    cy = y0[:, None] + grid[None, :] * sy[:, None] - 0.5
+
+    x0i = jnp.floor(cx).astype(jnp.int32)
+    y0i = jnp.floor(cy).astype(jnp.int32)
+    lx = (cx - x0i).astype(images.dtype)
+    ly = (cy - y0i).astype(images.dtype)
+
+    def gather(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        # (R, S, S, C) via advanced indexing per region
+        ridx = jnp.arange(r)[:, None, None]
+        return images[ridx, yy[:, :, None], xx[:, None, :], :]
+
+    g00 = gather(y0i, x0i)
+    g01 = gather(y0i, x0i + 1)
+    g10 = gather(y0i + 1, x0i)
+    g11 = gather(y0i + 1, x0i + 1)
+    ly_ = ly[:, :, None, None]
+    lx_ = lx[:, None, :, None]
+    return (
+        g00 * (1 - ly_) * (1 - lx_)
+        + g01 * (1 - ly_) * lx_
+        + g10 * ly_ * (1 - lx_)
+        + g11 * ly_ * lx_
+    )
+
+
+def clip_crop_classify(
+    visual_apply,          # fn(images (R, S, S, 3) normalized) -> (R, D)
+    frames_raw: jax.Array, # (T, H, W, 3) RGB in [0, 255]
+    masks: jax.Array,      # (T, Q, H, W) sigmoid probabilities
+    text_feats: jax.Array, # (K, D) normalized (may include bg row)
+    input_resolution: int = 224,
+    temperature: float = 100.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (logits (T, Q, K), valid (T, Q)).  Mirrors
+    ``ClipAdapter.forward`` + ``_preprocess_image`` (adapter.py:56-116)."""
+    t, q, h, w = masks.shape
+    r = t * q
+    flat_masks = masks.reshape(r, h, w)
+    boxes, valid = mask_square_boxes(flat_masks)
+
+    # gather each region's source frame
+    frame_ids = jnp.repeat(jnp.arange(t), q)
+    imgs = frames_raw[frame_ids]                         # (R, H, W, 3)
+    crops = roi_crop(imgs, boxes, input_resolution)      # (R, S, S, 3)
+    mask_crops = roi_crop(
+        flat_masks[..., None], boxes, input_resolution
+    )                                                    # (R, S, S, 1)
+    blended = crops * mask_crops                          # bg -> 0 (adapter.py:115)
+
+    mean = jnp.asarray(CLIP_PIXEL_MEAN, blended.dtype)
+    std = jnp.asarray(CLIP_PIXEL_STD, blended.dtype)
+    clip_in = (blended / 255.0 - mean) / std
+
+    feats = visual_apply(clip_in)                        # (R, D)
+    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6)
+    logits = temperature * feats @ text_feats.T          # (R, K)
+    return logits.reshape(t, q, -1), valid.reshape(t, q)
+
+
+def frame_average_scores(
+    clip_logits: jax.Array,  # (T, Q, K)
+    valid: jax.Array,        # (T, Q)
+    mode: str = "logits_then_softmax",
+    drop_last: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-query frame average over valid frames.  Two reference orders:
+      * OpenVIS (openvis.py:138-142): mean of raw LOGITS over frames, then
+        one softmax -> mode="logits_then_softmax";
+      * SimpleBSL ensemble (simplebsl.py:139-152): drop bg column, softmax
+        per frame, then mean of PROBS -> mode="softmax_then_mean".
+    Returns (scores (Q, K'), query_valid (Q,))."""
+    x = clip_logits[..., :-1] if drop_last else clip_logits
+    v = valid[..., None].astype(x.dtype)
+    cnt = jnp.maximum(v.sum(axis=0), 1.0)
+    if mode == "logits_then_softmax":
+        mean_logits = (x * v).sum(axis=0) / cnt
+        scores = jax.nn.softmax(mean_logits, axis=-1)
+    elif mode == "softmax_then_mean":
+        probs = jax.nn.softmax(x, axis=-1)
+        scores = (probs * v).sum(axis=0) / cnt
+    else:
+        raise ValueError(mode)
+    return scores, valid.any(axis=0)

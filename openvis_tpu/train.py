@@ -1,0 +1,111 @@
+"""Training/eval step assembly for the meta-architectures.
+
+Equivalent of the reference's ``Trainer`` + meta-arch ``forward`` glue
+(``train_net.py:63-253``; ``simplebsl.py:49-120``): builds the flax model
+for a config, the loss closure the sharded train step differentiates, and
+the jitted eval forward (tracking + top-k postprocess).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openvis_tpu.config import Config
+from openvis_tpu.losses.criterion import CriterionSettings
+from openvis_tpu.models.meta.simple_baseline import (
+    SimpleBaselineModel,
+    eval_scores,
+    simple_baseline_loss,
+)
+from openvis_tpu.models.postprocess import inference_video_topk
+from openvis_tpu.models.tracking import align_outputs
+from openvis_tpu.structures import ClipTargets
+
+
+def build_model(cfg: Config):
+    name = cfg.model.meta_architecture
+    if name in ("SimpleBaseline", "SimpleBaselineOnline"):
+        return SimpleBaselineModel(cfg.model)
+    if name in ("OpenVIS", "OpenVISOnline"):
+        from openvis_tpu.models.meta.openvis import OpenVISModel
+
+        return OpenVISModel(cfg.model)
+    if name in ("SAN", "SANOnline"):
+        from openvis_tpu.models.meta.san import SANModel
+
+        return SANModel(cfg.model)
+    if name == "BriVIS":
+        from openvis_tpu.models.meta.brivis import BriVISModel
+
+        return BriVISModel(cfg.model)
+    if name == "VideoMaskFormer":
+        from openvis_tpu.models.meta.video_maskformer import VideoMaskFormerModel
+
+        return VideoMaskFormerModel(cfg.model)
+    raise ValueError(f"unknown meta architecture {name!r}")
+
+
+def is_online(cfg: Config) -> bool:
+    return cfg.model.transformer_decoder.name.startswith(
+        ("frame", "side_adapter_frame")
+    )
+
+
+def init_model(cfg: Config, rng, sample_batch) -> Any:
+    model = build_model(cfg)
+    b, t, h, w, _ = sample_batch["pixels"].shape
+    frames = sample_batch["pixels"].reshape(b * t, h, w, 3)
+    variables = model.init(rng, frames, t, sample_batch["text_feats"])
+    return model, variables["params"]
+
+
+def make_loss_fn(cfg: Config, model, num_text_classes: int):
+    online = is_online(cfg)
+    amp = cfg.solver.amp
+
+    def loss_fn(params, batch, rng) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        pixels = batch["pixels"]  # (B, T, H, W, 3)
+        b, t, h, w, _ = pixels.shape
+        frames = pixels.reshape(b * t, h, w, 3)
+        if amp:
+            frames = frames.astype(jnp.bfloat16)
+        out = model.apply({"params": params}, frames, t, batch["text_feats"])
+        out = {
+            k: (v.astype(jnp.float32) if isinstance(v, jax.Array) else v)
+            for k, v in out.items()
+        }
+        losses = simple_baseline_loss(
+            rng, out, batch["targets"], cfg.model, num_text_classes, online
+        )
+        metrics = {
+            "loss_ce": losses["loss_ce"].sum(),
+            "loss_mask": losses["loss_mask"].sum(),
+            "loss_dice": losses["loss_dice"].sum(),
+        }
+        return losses["total"], metrics
+
+    return loss_fn
+
+
+def make_eval_fn(cfg: Config, model):
+    """Returns f(params, frames (T,H,W,3), text_feats) -> topk dict for one
+    video clip (B=1), fixed shapes."""
+    online = is_online(cfg)
+    topk = cfg.model.test.topk_per_video
+
+    def eval_fn(params, frames, text_feats):
+        t = frames.shape[0]
+        out = model.apply({"params": params}, frames, t, text_feats)
+        logits = out["pred_logits"]
+        masks = out["pred_masks"]
+        if online:
+            logits, masks, _ = align_outputs(
+                logits, masks, out["pred_embeds"]
+            )
+        scores = eval_scores(logits, online)[0]  # (Q, K)
+        return inference_video_topk(scores, masks[0], topk)
+
+    return eval_fn

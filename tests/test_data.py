@@ -1,0 +1,152 @@
+"""Data layer: RLE roundtrip, catalogs, mapper + loader on a synthetic
+YTVIS-format dataset."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openvis_tpu.config import Config
+from openvis_tpu.data import catalog, rle
+from openvis_tpu.data.mapper import (
+    YTVISClipMapper,
+    load_ytvis_records,
+    select_frames,
+)
+
+
+def test_rle_roundtrip():
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        m = (rng.rand(37, 53) > 0.7).astype(np.uint8)
+        enc = rle.encode(m)
+        assert isinstance(enc["counts"], str)
+        np.testing.assert_array_equal(rle.decode(enc), m)
+        assert rle.area(enc) == int(m.sum())
+
+
+def test_rle_leb128_negative_deltas():
+    # runs that shrink produce negative deltas — exercise sign extension
+    m = np.zeros((10, 10), np.uint8)
+    m[0:9, 0] = 1
+    m[0:2, 2] = 1
+    enc = rle.encode(m)
+    np.testing.assert_array_equal(rle.decode(enc), m)
+
+
+def test_polygon_rasterization():
+    poly = [[2.0, 2.0, 8.0, 2.0, 8.0, 8.0, 2.0, 8.0]]
+    m = rle.polygons_to_mask(poly, 12, 12)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert 36 <= m.sum() <= 64  # boundary handling tolerance
+
+
+def test_catalog_counts():
+    assert len(catalog.get("ytvis_2019_train").thing_classes) == 40
+    assert len(catalog.get("ovis_train").thing_classes) == 25
+    assert len(catalog.get("lvvis_val").thing_classes) == 1196
+    assert len(catalog.get("ytvis_2019_train2coco").thing_classes) == 101
+    assert len(catalog.get("burst_val").thing_classes) == 482
+
+
+def test_select_frames_properties():
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        idxs = select_frames(rng, 30, 2, 5)
+        assert len(idxs) == 2
+        assert 0 <= min(idxs) and max(idxs) < 30
+        assert abs(idxs[1] - idxs[0]) <= 10
+        assert idxs == sorted(idxs)
+
+
+@pytest.fixture()
+def synthetic_ytvis(tmp_path):
+    """Two 4-frame videos with 2 instances in YTVIS json format."""
+    root = tmp_path
+    img_dir = root / "vids" / "JPEGImages"
+    h, w, t = 48, 64, 4
+    videos, annotations = [], []
+    rng = np.random.RandomState(0)
+    for vid in (1, 2):
+        vdir = img_dir / f"v{vid}"
+        vdir.mkdir(parents=True)
+        file_names = []
+        for f in range(t):
+            arr = rng.randint(0, 255, (h, w, 3), np.uint8)
+            Image.fromarray(arr).save(vdir / f"{f:05d}.jpg")
+            file_names.append(f"v{vid}/{f:05d}.jpg")
+        videos.append({
+            "id": vid, "height": h, "width": w, "length": t,
+            "file_names": file_names,
+        })
+        for inst in range(2):
+            segs = []
+            for f in range(t):
+                m = np.zeros((h, w), np.uint8)
+                m[10 + inst * 5 : 25 + inst * 5, 10 + f : 30 + f] = 1
+                segs.append(rle.encode(m))
+            annotations.append({
+                "id": vid * 10 + inst, "video_id": vid,
+                "category_id": 1 + inst,
+                "segmentations": segs,
+                "bboxes": [[10, 10, 20, 15]] * t,
+                "iscrowd": 0,
+            })
+    js = {
+        "videos": videos,
+        "annotations": annotations,
+        "categories": [{"id": i, "name": f"c{i}"} for i in (1, 2)],
+    }
+    (root / "vids").mkdir(exist_ok=True)
+    with open(root / "train.json", "w") as f:
+        json.dump(js, f)
+    info = catalog.DatasetInfo(
+        name="synth", image_root="vids/JPEGImages", json_file="train.json",
+        thing_classes=("c1", "c2"), id_map={1: 0, 2: 1},
+    )
+    return str(root), info
+
+
+def test_ytvis_mapper(synthetic_ytvis):
+    root, info = synthetic_ytvis
+    cfg = Config()
+    inp = dataclasses.replace(
+        cfg.input, min_size_train=(48,), max_size_train=96,
+        pad_size=(64, 96), max_instances=6,
+    )
+    records = load_ytvis_records(info, root, is_train=True)
+    assert len(records) == 2 and records[0]["length"] == 4
+    mapper = YTVISClipMapper(
+        info, inp, cfg.model.pixel_mean, cfg.model.pixel_std, is_train=True
+    )
+    rng = np.random.RandomState(1)
+    s = mapper(rng, records[0])
+    t = inp.sampling_frame_num
+    assert s["pixels"].shape[0] == t
+    assert s["pixels"].shape[1] % 32 == 0 and s["pixels"].shape[2] % 32 == 0
+    assert s["masks"].shape[:2] == (6, t)
+    assert s["valid"][:2].all() and not s["valid"][2:].any()
+    assert s["labels"][:2].tolist() == [0, 1]
+    assert s["masks"][0].sum() > 0
+    # mask lives inside the valid image region
+    hh, ww = s["image_size"]
+    assert s["masks"][0][:, hh:, :].sum() == 0
+    assert s["masks"][0][:, :, ww:].sum() == 0
+
+
+def test_eval_mapper_all_frames(synthetic_ytvis):
+    root, info = synthetic_ytvis
+    cfg = Config()
+    inp = dataclasses.replace(
+        cfg.input, min_size_test=48, max_size_test=96, pad_size=(64, 96),
+        max_instances=6,
+    )
+    records = load_ytvis_records(info, root, is_train=False)
+    mapper = YTVISClipMapper(
+        info, inp, cfg.model.pixel_mean, cfg.model.pixel_std, is_train=False
+    )
+    s = mapper(np.random.RandomState(0), records[0])
+    assert s["pixels"].shape[0] == 4  # all frames at eval

@@ -1,0 +1,105 @@
+"""End-to-end slice: SimpleBaselineOnline init -> train step -> eval forward
+on a tiny config (SURVEY §7 stage 4 artifact)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvis_tpu.config import Config
+from openvis_tpu.parallel.train_step import TrainState, make_optimizer, make_train_step
+from openvis_tpu.structures import ClipTargets
+from openvis_tpu.train import build_model, init_model, make_eval_fn, make_loss_fn
+
+K, D = 5, 32  # text classes, clip dim
+B, T, H, W, N = 1, 2, 64, 96, 4
+
+
+def tiny_config() -> Config:
+    cfg = Config()
+    m = dataclasses.replace(
+        cfg.model,
+        num_classes=K,
+        pixel_decoder=dataclasses.replace(
+            cfg.model.pixel_decoder,
+            conv_dim=64, mask_dim=64, transformer_enc_layers=1,
+            dim_feedforward=128, num_heads=4,
+        ),
+        transformer_decoder=dataclasses.replace(
+            cfg.model.transformer_decoder,
+            hidden_dim=64, num_queries=8, nheads=4, dim_feedforward=128,
+            dec_layers=2, mask_dim=64, clip_embed_dim=D,
+        ),
+        criterion=dataclasses.replace(
+            cfg.model.criterion, train_num_points=128
+        ),
+    )
+    s = dataclasses.replace(cfg.solver, amp=False, warmup_iters=0)
+    return dataclasses.replace(cfg, model=m, solver=s)
+
+
+def _batch(rng):
+    labels = rng.randint(0, K, (B, N)).astype(np.int32)
+    masks = np.zeros((B, N, T, H, W), np.float32)
+    masks[:, :2, :, 10:30, 20:50] = 1.0
+    valid = np.zeros((B, N), bool)
+    valid[:, :2] = True
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    return {
+        "pixels": jnp.asarray(rng.randn(B, T, H, W, 3).astype(np.float32)),
+        "targets": ClipTargets(
+            labels=jnp.asarray(labels),
+            masks=jnp.asarray(masks),
+            valid=jnp.asarray(valid),
+            frame_valid=jnp.asarray(np.ones((B, N, T), bool)),
+        ),
+        "text_feats": jnp.asarray(text),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    model, params = init_model(cfg, jax.random.PRNGKey(0), batch)
+    return cfg, model, params, batch
+
+
+def test_train_steps_run_and_losses_finite(setup):
+    cfg, model, params, batch = setup
+    loss_fn = make_loss_fn(cfg, model, K)
+    tx = make_optimizer(cfg, params)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(loss_fn, tx))
+    metrics = None
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    assert int(state.step) == 2
+    # frozen backbone affines must not move
+    p0 = params["segmenter"]["backbone"]["stem_norm1"]["scale"]
+    p1 = state.params["segmenter"]["backbone"]["stem_norm1"]["scale"]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    # but regular params must move
+    k0 = params["segmenter"]["predictor"]["query_feat"]
+    k1 = state.params["segmenter"]["predictor"]["query_feat"]
+    assert np.abs(np.asarray(k1) - np.asarray(k0)).max() > 0
+
+
+def test_eval_forward(setup):
+    cfg, model, params, batch = setup
+    eval_fn = jax.jit(make_eval_fn(cfg, model))
+    frames = batch["pixels"][0]
+    out = eval_fn(params, frames, batch["text_feats"])
+    topk = cfg.model.test.topk_per_video
+    assert out["scores"].shape == (topk,)
+    assert out["labels"].shape == (topk,)
+    assert out["mask_logits"].shape == (topk, T, H // 4, W // 4)
+    s = np.asarray(out["scores"])
+    assert (s >= 0).all() and (s <= 1).all()
+    assert (np.asarray(out["labels"]) < K).all()
