@@ -1,0 +1,74 @@
+"""Brownian-bridge contrastive criterion (BriVIS).
+
+Rebuild of ``BrownianBridgeCriterion``
+(``openvis/modeling/brownian_criterion.py:61-103``): per (video, query)
+track the per-frame projected+normalized embeddings should follow a
+Brownian bridge from head (t=0) to tail (t=T-1); a random middle frame's
+deviation is scored as ``exp(-||e_mid - (1-a) e_head - a e_tail||^2 /
+(2 sigma^2))`` and contrasted against the 5 hardest negatives drawn from the
+global pool of all other tracks, plus a Softplus head-tail matching loss.
+
+The reference gathers cross-rank negatives with ``concat_all_gather``
+(``:72-78``); under jit-over-mesh the batch axis is already global, so the
+pool is simply every other (video, query) row — the same set.
+
+Note: the reference returns ``mean(p / (p + negs))`` as ``bc_loss`` and
+minimizes it directly (``brownian_criterion.py:96-103``, ``brivis.py:198``);
+the paper's objective is the *negative log* of that ratio.  We default to
+``-log`` (set ``neg_log=False`` for bit-parity with the shipped code).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def brownian_bridge_loss(
+    rng: jax.Array,
+    embeds: jax.Array,  # (B, T, Q, C) projected frame embeds
+    delta: float = 0.3,
+    topk: int = 5,
+    neg_log: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    b, t, q, c = embeds.shape
+    assert t >= 3, "brownian bridge needs >= 3 frames"
+    n = b * q
+    e = jnp.transpose(embeds, (0, 2, 1, 3)).reshape(n, t, c)
+    e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
+
+    mid = jax.random.randint(rng, (n,), 1, t - 1)
+    head = e[:, 0]                                     # (n, c)
+    tail = e[:, -1]
+    alpha = (mid.astype(jnp.float32) / (t - 1))[:, None]
+    sigma = (alpha[:, 0] * ((t - 1) - mid.astype(jnp.float32)))
+
+    # positive: own mid-frame deviation
+    e_mid = jnp.take_along_axis(e, mid[:, None, None].repeat(c, -1), axis=1)[:, 0]
+    x_pos = e_mid - (1 - alpha) * head - alpha * tail
+    d_pos = -jnp.sum(x_pos ** 2, axis=-1) / (2 * sigma ** 2)  # (n,)
+
+    # negatives: every other track's embedding at OUR mid index
+    # neg_mid[i, j] = e_j[mid_i]  -> (n, n, c)
+    neg_mid = e[None, :, :, :]                        # (1, n, t, c)
+    neg_mid = jnp.take_along_axis(
+        jnp.broadcast_to(neg_mid, (n, n, t, c)),
+        mid[:, None, None, None].repeat(n, 1).repeat(c, -1),
+        axis=2,
+    )[:, :, 0]
+    x_neg = neg_mid - (1 - alpha[:, None]) * head[:, None] - alpha[:, None] * tail[:, None]
+    d_neg = -jnp.sum(x_neg ** 2, axis=-1) / (2 * sigma[:, None] ** 2)  # (n, n)
+    d_neg = d_neg.at[jnp.arange(n), jnp.arange(n)].set(-10000.0)
+    d_top, _ = jax.lax.top_k(d_neg, min(topk, n - 1) if n > 1 else 1)
+
+    numer = jnp.exp(d_pos)
+    deno = numer + jnp.exp(d_top).sum(-1)
+    ratio = numer / deno
+    bc = -jnp.log(ratio + 1e-12).mean() if neg_log else ratio.mean()
+
+    # head-tail matching (brownian_criterion.py:100-101)
+    score = jnp.sum(head * tail, axis=-1)
+    htm = jax.nn.softplus(delta - score).mean()
+    return bc, htm

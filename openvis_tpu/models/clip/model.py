@@ -295,6 +295,11 @@ _MODEL_SHAPES = {
     "ViT-L/14@336px": dict(embed_dim=768, vision_patch=14, vision_width=1024,
                            vision_layers=24, vision_heads=16, image_size=336,
                            text_width=768, text_heads=12, text_layers=12),
+    # tiny shape for tests/smoke runs (not a real OpenAI checkpoint)
+    "test-tiny": dict(embed_dim=32, vision_patch=8, vision_width=64,
+                      vision_layers=4, vision_heads=4, image_size=64,
+                      text_width=64, text_heads=4, text_layers=2,
+                      vocab_size=512, context_length=16),
 }
 
 

@@ -1,0 +1,201 @@
+"""BriVIS meta-architecture (stage 2 on top of SANOnline).
+
+Rebuild of ``openvis/brivis.py:27-316``: the SAN per-frame segmenter runs
+FROZEN (``brivis.py:36-41,155-161``; here ``stop_gradient`` + the optimizer's
+frozen mask), its per-frame queries are MinVIS-aligned
+(``batch_video_match_via_embeds``, ``:173-174``), and the
+``TemporalResampler`` refines the aligned tracks over T.  Losses:
+
+  * tracking set criterion on "tall image" masks — the T frames stacked on
+    the height axis as one pseudo-frame (``frame_decoder_loss_reshape``,
+    ``:213-229``); resampler logits per layer = (first + last frame)/2,
+    frozen image logits = mean over T;
+  * matching indices come from the frozen image outputs for the first half
+    of training and from the resampler outputs afterwards (``:183-190``),
+    reused across all aux layers (VideoSetTrackingCriterion);
+  * the frozen per-frame outputs are appended as an extra aux layer
+    (``:183``);
+  * Brownian-bridge contrastive + head-tail matching on the resampler's
+    projected frame embeds (``:198``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from openvis_tpu.config import ModelConfig
+from openvis_tpu.losses.brownian import brownian_bridge_loss
+from openvis_tpu.losses.criterion import CriterionSettings, match, set_criterion
+from openvis_tpu.models.meta.simple_baseline import _normalize
+from openvis_tpu.models.resampler import TemporalResampler
+from openvis_tpu.models.segmenter import Segmenter
+from openvis_tpu.models.side_adapter import SideAdapter
+from openvis_tpu.models.tracking import apply_track_indices, track_by_embeds
+from openvis_tpu.structures import ClipTargets
+
+
+class BriVISModel(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        frames: jax.Array,      # (B*T, H, W, 3) dataset-normalized
+        num_frames: int,
+        text_feats: jax.Array,  # (K, D)
+    ) -> Dict[str, Any]:
+        cfg = self.cfg
+        ca = cfg.clip_adapter
+        t = num_frames
+        adapter = SideAdapter(
+            clip_model_name=ca.clip_model_name,
+            out_dims=cfg.pixel_decoder.conv_dim,
+            broken_idx=ca.broken_id,
+            merge_ids=tuple(ca.merge_ids),
+            num_queries=cfg.transformer_decoder.num_queries,
+            name="clip_adapter",
+        )
+        mean = jnp.asarray(cfg.pixel_mean, frames.dtype)
+        std = jnp.asarray(cfg.pixel_std, frames.dtype)
+        frames_raw = frames * std + mean
+
+        mg_feats, bk_tokens, grid = adapter.front_encode(frames_raw)
+        image_out = Segmenter(cfg, name="segmenter")(
+            frames, t, extra_features=list(mg_feats)[::-1]
+        )
+        # frozen stage-1 (brivis.py:155-161)
+        image_out = jax.tree.map(
+            lambda x: jax.lax.stop_gradient(x) if isinstance(x, jax.Array) else x,
+            image_out,
+        )
+        bk_tokens = jax.lax.stop_gradient(bk_tokens)
+
+        bt = frames.shape[0]
+        b = bt // t
+        text_full = jax.lax.stop_gradient(adapter.text_with_bg(text_feats))
+
+        # frozen per-frame CLIP logits (brivis.py:166-169)
+        biases = image_out["class_attn_biases"]  # (B, T, nH, Q, h, w)
+        nh, q = biases.shape[2], biases.shape[3]
+        img_feats = adapter.post_encode(
+            bk_tokens, biases.reshape(bt, nh, q, *biases.shape[-2:]), grid
+        )
+        image_logits = adapter.sim_logits(text_full, img_feats).reshape(b, t, q, -1)
+        image_logits = jax.lax.stop_gradient(image_logits)
+
+        # MinVIS alignment (brivis.py:173-174, 231-240)
+        pred_embeds = image_out["pred_embeds"]            # (B, T, Q, C)
+        indices = track_by_embeds(pred_embeds)            # (B, T, Q)
+        frame_embeds = apply_track_indices(pred_embeds, indices)
+        image_logits = apply_track_indices(image_logits, indices)
+        image_masks = apply_track_indices(
+            jnp.swapaxes(image_out["pred_masks"], 1, 2), indices
+        )
+        image_masks = jnp.swapaxes(image_masks, 1, 2)     # (B, Q, T, H, W)
+
+        res = TemporalResampler(
+            hidden_dim=cfg.transformer_decoder.hidden_dim,
+            feed_dim=cfg.transformer_decoder.dim_feedforward,
+            nheads=cfg.transformer_decoder.nheads,
+            nlayers=cfg.resampler.num_layers,
+            name="resampler",
+        )(frame_embeds, image_out["mask_feats"], image_out["attn_feats"])
+
+        # CLIP logits for all resampler layers in one batched post-encode
+        ab = res["attn_biases_all"]  # (L+1, B*T, nH, Q, h, w)
+        l1 = ab.shape[0]
+        toks = jnp.broadcast_to(
+            bk_tokens[None], (l1, *bk_tokens.shape)
+        ).reshape(l1 * bt, *bk_tokens.shape[1:])
+        feats = adapter.post_encode(
+            toks, ab.reshape(l1 * bt, *ab.shape[2:]), grid
+        )
+        logits_all = adapter.sim_logits(text_full, feats).reshape(
+            l1, b, t, q, -1
+        )
+
+        # brownian projection (brownian_criterion.py:64-70)
+        brownian = nn.Dense(cfg.transformer_decoder.hidden_dim,
+                            name="brownian_proj")(res["pred_embeds"])
+
+        return {
+            "pred_logits_all": logits_all,          # (L+1, B, T, Q, K+1)
+            "pred_masks_all": res["pred_masks_all"],  # (L+1, B, Q, T, H, W)
+            "pred_logits": logits_all[-1],
+            "pred_masks": res["pred_masks_all"][-1],
+            "pred_embeds": res["pred_embeds"],
+            "brownian_embeds": brownian,
+            "image_logits": image_logits,           # (B, T, Q, K+1) frozen
+            "image_masks": image_masks,             # (B, Q, T, H, W) frozen
+        }
+
+
+def _tall(masks: jax.Array) -> jax.Array:
+    """(B, Q|N, T, H, W) -> (B, Q|N, 1, T*H, W) (brivis.py:216-226)."""
+    b, n, t, h, w = masks.shape
+    return masks.reshape(b, n, 1, t * h, w)
+
+
+def brivis_loss(
+    rng: jax.Array,
+    outputs: Dict[str, Any],
+    targets: ClipTargets,
+    cfg: ModelConfig,
+    num_text_classes: int,
+    image_matcher: bool = True,
+    axis_name: Optional[str] = None,
+) -> Dict[str, jax.Array]:
+    c = cfg.criterion
+    s = CriterionSettings(
+        num_classes=num_text_classes,
+        class_weight=c.class_weight,
+        mask_weight=c.mask_weight,
+        dice_weight=c.dice_weight,
+        eos_coef=c.no_object_weight,
+        num_points=c.train_num_points,
+        oversample_ratio=c.oversample_ratio,
+        importance_sample_ratio=c.importance_sample_ratio,
+        deep_supervision=c.deep_supervision,
+    )
+    # resampler layer logits: (first + last frame)/2 (brivis.py:217)
+    la = outputs["pred_logits_all"]
+    layer_logits = (la[:, :, 0] + la[:, :, -1]) / 2.0      # (L+1, B, Q, K+1)
+    layer_masks = jax.vmap(_tall)(outputs["pred_masks_all"])
+
+    # frozen image outputs appended as an extra aux layer (brivis.py:183)
+    img_logits = outputs["image_logits"].mean(axis=1)       # (B, Q, K+1)
+    img_masks = _tall(outputs["image_masks"])
+    logits_all = jnp.concatenate([img_logits[None], layer_logits], axis=0)
+    # order: put the image layer first so the FINAL entry stays the
+    # resampler's last layer (the reference appends to aux, same effect)
+    masks_all = jnp.concatenate([img_masks[None], layer_masks], axis=0)
+
+    tall_targets = ClipTargets(
+        labels=targets.labels,
+        masks=_tall(targets.masks),
+        valid=targets.valid,
+        frame_valid=jnp.ones(
+            (*targets.valid.shape, 1), bool
+        ),
+    )
+
+    rng_m, rng_l, rng_b = jax.random.split(rng, 3)
+    if image_matcher:
+        assignment = match(rng_m, img_logits, img_masks, tall_targets, s)
+    else:
+        assignment = match(
+            rng_m, layer_logits[-1], layer_masks[-1], tall_targets, s
+        )
+    losses, _ = set_criterion(
+        rng_l, logits_all, masks_all, tall_targets, s, axis_name,
+        fixed_assignment=assignment,
+    )
+    bc, htm = brownian_bridge_loss(rng_b, outputs["brownian_embeds"])
+    losses["bc_loss"] = bc
+    losses["htm_loss"] = htm
+    losses["total"] = losses["total"] + bc + htm
+    return losses

@@ -59,10 +59,8 @@ _DECODER_KINDS = {
     "frame_embedding": ("frame", "embedding"),
     "video_proposal": ("video", "proposal"),
     "frame_proposal": ("frame", "proposal"),
-    # side-adapter decoders ("none" class head + attn-bias embeds) are built
-    # by openvis_tpu.models.side_adapter on top of mode="frame"/"video".
-    "side_adapter_frame": ("frame", "none"),
-    "side_adapter_video": ("video", "none"),
+    "side_adapter_frame": ("frame", "side_adapter"),
+    "side_adapter_video": ("video", "side_adapter"),
 }
 
 
@@ -118,6 +116,7 @@ class Segmenter(nn.Module):
             mask_dim=td.mask_dim,
             num_classes=self.cfg.num_classes,
             clip_dim=td.clip_embed_dim,
+            clip_heads=cfg.clip_adapter.clip_num_heads,
             in_channels=pd.conv_dim,
             name="predictor",
         )(ms_features, mask_features_in, num_frames)

@@ -1,0 +1,174 @@
+"""SAN side adapter: frozen CLIP ViT split with attention-bias steering.
+
+Rebuild of ``SideAdapter``
+(``openvis/modeling/clip_adapter/side_adapter.py:81-270``):
+
+  * ``front_encode``: input frames resized to the CLIP resolution (bicubic,
+    /255 + CLIP normalize), patch-embedded with the positional embedding
+    resized to the token grid, then CLIP blocks ``0..broken_idx-1``; block
+    outputs at ``merge_ids`` (1-based) are 1x1-projected to the pixel
+    decoder width and returned as ``extra_features`` (``:147-174``);
+  * ``post_encode``: appends ``num_queries`` "sos" tokens (copies of the cls
+    token) and runs blocks ``broken_idx..`` with a per-head additive
+    attention bias assembled from the decoder's predicted attn-bias maps —
+    sos->patch logits get the (max-pooled) bias, patch/cls->sos
+    interactions are cut at -100, sos self-interaction allowed
+    (``:176-209``, ``_build_attn_biases`` ``:237-270``);
+  * text encoding with a learned normalized bg row (``:211-232``); logits =
+    ``logit_scale.exp() * img @ text.T`` (``:234``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from openvis_tpu.models.clip.model import (
+    CLIP_PIXEL_MEAN,
+    CLIP_PIXEL_STD,
+    CLIPVisionTransformer,
+    _MODEL_SHAPES,
+    resize_pos_embed,
+)
+
+
+def adaptive_max_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
+    """(..., H, W) -> (..., th, tw) adaptive max pool (torch semantics:
+    window [floor(i*H/th), ceil((i+1)*H/th))."""
+    h, w = x.shape[-2:]
+    th, tw = out_hw
+    if (h, w) == (th, tw):
+        return x
+    # gather with a fixed max window per output cell + -inf masking
+    kh = -(-h // th) + 1
+    kw = -(-w // tw) + 1
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    ye = np.ceil((np.arange(th) + 1) * h / th).astype(int)
+    xe = np.ceil((np.arange(tw) + 1) * w / tw).astype(int)
+    yi = ys[:, None] + np.arange(kh)[None, :]          # (th, kh)
+    xi = xs[:, None] + np.arange(kw)[None, :]          # (tw, kw)
+    ym = yi < ye[:, None]
+    xm = xi < xe[:, None]
+    yi = np.minimum(yi, h - 1)
+    xi = np.minimum(xi, w - 1)
+    g = x[..., yi, :]                                   # (..., th, kh, W)
+    g = g[..., xi]                                      # (..., th, kh, tw, kw)
+    mask = (ym[:, :, None, None] & xm[None, None, :, :])
+    g = jnp.where(jnp.asarray(mask), g, -jnp.inf)
+    return jnp.max(g, axis=(-3, -1))
+
+
+class SideAdapter(nn.Module):
+    """Frozen CLIP with split execution + biased post blocks.  Vision params
+    live under ``visual``; the text tower is shared via
+    ``openvis_tpu.models.clip`` (text encoding happens offline in the text
+    bank; the bg row is this module's only trainable text-side param)."""
+
+    clip_model_name: str = "ViT-B/16"
+    out_dims: int = 256
+    broken_idx: int = 9
+    merge_ids: Tuple[int, ...] = (3, 6, 9)
+    num_queries: int = 100
+
+    def setup(self):
+        shape = _MODEL_SHAPES[self.clip_model_name]
+        self.visual = CLIPVisionTransformer(
+            patch_size=shape["vision_patch"],
+            width=shape["vision_width"],
+            layers=shape["vision_layers"],
+            heads=shape["vision_heads"],
+            embed_dim=shape["embed_dim"],
+            image_size=shape["image_size"],
+            name="visual",
+        )
+        self.input_resolution = shape["image_size"]
+        self.clip_heads = shape["vision_heads"]
+        self.embed_dim = shape["embed_dim"]
+        self.attn_projs = [
+            nn.Conv(self.out_dims, (1, 1), name=f"attn_proj{i}")
+            for i in range(len(self.merge_ids))
+        ]
+        self.bg_embed = self.param(
+            "bg_embed",
+            nn.initializers.normal(self.embed_dim ** -0.5),
+            (1, self.embed_dim),
+        )
+        self.logit_scale = self.param(
+            "logit_scale", lambda k, s: jnp.full(s, np.log(1 / 0.07)), ()
+        )
+
+    def preprocess(self, frames_raw: jax.Array) -> jax.Array:
+        """(N, H, W, 3) in [0,255] -> CLIP-normalized at input_resolution
+        (side_adapter.py:152-154)."""
+        n = frames_raw.shape[0]
+        s = self.input_resolution
+        x = jax.image.resize(
+            frames_raw / 255.0, (n, s, s, 3), method="cubic"
+        )
+        mean = jnp.asarray(CLIP_PIXEL_MEAN, x.dtype)
+        std = jnp.asarray(CLIP_PIXEL_STD, x.dtype)
+        return (x - mean) / std
+
+    def front_encode(self, frames_raw: jax.Array):
+        """-> (mg_feats: list of (N, h, w, out_dims), bk_tokens (N, 1+L, W),
+        grid_hw)."""
+        x = self.preprocess(frames_raw)
+        tokens, grid = self.visual.embed(x)
+        tokens, tapped = self.visual.run_blocks(
+            tokens, 0, self.broken_idx, taps=self.merge_ids
+        )
+        h, w = grid
+        mg_feats = []
+        for i, mid in enumerate(self.merge_ids):
+            f = tapped[mid][:, 1:]  # patch tokens (N, L, W)
+            f = f.reshape(f.shape[0], h, w, f.shape[-1])
+            mg_feats.append(self.attn_projs[i](f))
+        return mg_feats, tokens, grid
+
+    def post_encode(
+        self,
+        bk_tokens: jax.Array,    # (N, 1+L, W) from front_encode
+        attn_biases: jax.Array,  # (N, nH, Q, h', w') raw decoder bias maps
+        grid_hw: Tuple[int, int],
+    ) -> jax.Array:
+        """Run blocks broken_idx.. with sos tokens + bias. -> (N, Q, D)
+        normalized sos features (side_adapter.py:176-209)."""
+        n, l1, wdt = bk_tokens.shape
+        q = self.num_queries
+        h, w = grid_hw
+        L = h * w
+
+        # bias assembly (_build_attn_biases, :237-270)
+        nH = attn_biases.shape[1]
+        ab = adaptive_max_pool(attn_biases, (h, w))      # (N, nH, Q, h, w)
+        ab = ab.reshape(n, nH, q, L)
+        S = q + 1 + L
+        base = jnp.zeros((S, S), bk_tokens.dtype)
+        base = base.at[:, :q].set(-100.0)                # nothing attends to sos
+        base = base.at[jnp.arange(q), jnp.arange(q)].set(0.0)  # sos self ok
+        base = base.at[:q, q].set(-100.0)                # sos can't see cls
+        bias = jnp.broadcast_to(base, (n, nH, S, S))
+        bias = bias.at[:, :, :q, q + 1 :].set(ab)        # sos->patch condition
+
+        sos = jnp.broadcast_to(bk_tokens[:, :1], (n, q, wdt))
+        x = jnp.concatenate([sos, bk_tokens], axis=1)    # (N, Q+1+L, W)
+        x, _ = self.visual.run_blocks(
+            x, self.broken_idx, self.visual.layers,
+            attn_bias=[bias] * (self.visual.layers - self.broken_idx),
+        )
+        sos_out = self.visual.finalize(x[:, :q], project=True)  # (N, Q, D)
+        return sos_out / (jnp.linalg.norm(sos_out, axis=-1, keepdims=True) + 1e-6)
+
+    def text_with_bg(self, text_feats: jax.Array) -> jax.Array:
+        bg = self.bg_embed / (
+            jnp.linalg.norm(self.bg_embed, axis=-1, keepdims=True) + 1e-6
+        )
+        return jnp.concatenate([text_feats, bg.astype(text_feats.dtype)], axis=0)
+
+    def sim_logits(self, text_feats: jax.Array, img_feats: jax.Array) -> jax.Array:
+        return jnp.exp(self.logit_scale) * img_feats @ text_feats.T

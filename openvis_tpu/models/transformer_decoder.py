@@ -172,16 +172,19 @@ def attn_bias_from_mask_logits(
 
 class PredictionHeads(nn.Module):
     """decoder_norm -> class head + mask-embed MLP (reference
-    ``forward_prediction_heads``, video_...py:456-474)."""
+    ``forward_prediction_heads``, video_...py:456-474).  The
+    ``side_adapter`` head instead emits per-CLIP-head attention-bias maps
+    ``einsum(attn_embed, attn_features)`` (side_adapter_frame_...py:151-169)."""
 
     hidden_dim: int
     mask_dim: int
-    head: str  # "class" | "embedding" | "proposal" | "none"
+    head: str  # "class" | "embedding" | "proposal" | "side_adapter" | "none"
     num_classes: int = 0
     clip_dim: int = 512
+    clip_heads: int = 12
 
     @nn.compact
-    def __call__(self, output, mask_features, video: bool):
+    def __call__(self, output, mask_features, video: bool, attn_features=None):
         x = nn.LayerNorm(name="decoder_norm")(output)  # (B, Q, C)
         if self.head == "class":
             logits = nn.Dense(self.num_classes + 1, name="class_embed")(x)
@@ -189,6 +192,10 @@ class PredictionHeads(nn.Module):
             logits = MLP(self.clip_dim * 2, self.clip_dim, 2, name="class_embed")(x)
         elif self.head == "proposal":
             logits = nn.Dense(2, name="class_embed")(x)
+        elif self.head == "side_adapter":
+            # attn_features: (B, nH, h, w, C); bias (B, nH, Q, h, w)
+            attn_embed = MLP(self.hidden_dim, self.hidden_dim, 3, name="attn_embed")(x)
+            logits = jnp.einsum("bqc,bnhwc->bnqhw", attn_embed, attn_features)
         else:
             logits = None
         mask_embed = MLP(self.hidden_dim, self.mask_dim, 3, name="mask_embed")(x)
@@ -217,6 +224,7 @@ class MaskedTransformerDecoder(nn.Module):
     mask_dim: int = 256
     num_classes: int = 0
     clip_dim: int = 512
+    clip_heads: int = 12
     in_channels: int = 256
     enforce_input_project: bool = False
 
@@ -273,18 +281,34 @@ class MaskedTransformerDecoder(nn.Module):
         output = jnp.broadcast_to(query_feat[None], (nb, self.num_queries, self.hidden_dim))
         qpos = jnp.broadcast_to(query_embed[None], (nb, self.num_queries, self.hidden_dim))
 
-        if video:
-            mf = mask_features
-        else:
-            mf = mask_features  # (B*T, H, W, Cm)
+        mf = mask_features  # video: (B, T, H, W, Cm); frame: (B*T, H, W, Cm)
+
+        attn_features = None
+        if self.head == "side_adapter":
+            # Attention-bias branch (side_adapter_frame_...py:48,70-75):
+            # 1/4-downsampled mask features -> 3x 1x1-conv MLP ->
+            # (N, clip_heads, h, w, C)
+            base = mf if not video else mf.reshape(bs * t, *mf.shape[2:])
+            n_, hm, wm, cm = base.shape
+            af = jax.image.resize(
+                base, (n_, hm // 4, wm // 4, cm), method="bilinear"
+            )
+            af = nn.relu(nn.Conv(self.hidden_dim, (1, 1), name="attn_mlp0")(af))
+            af = nn.relu(nn.Conv(self.hidden_dim, (1, 1), name="attn_mlp1")(af))
+            af = nn.Conv(self.hidden_dim * self.clip_heads, (1, 1), name="attn_mlp2")(af)
+            h4, w4 = af.shape[1:3]
+            attn_features = jnp.transpose(
+                af.reshape(n_, h4, w4, self.clip_heads, self.hidden_dim),
+                (0, 3, 1, 2, 4),
+            )  # (N, nH, h, w, C)
 
         heads = PredictionHeads(
             self.hidden_dim, self.mask_dim, self.head, self.num_classes,
-            self.clip_dim, name="heads",
+            self.clip_dim, self.clip_heads, name="heads",
         )
 
         all_logits, all_masks = [], []
-        logits, masks, _ = heads(output, mf, video)
+        logits, masks, _ = heads(output, mf, video, attn_features)
         all_logits.append(logits)
         all_masks.append(masks)
         attn_bias = attn_bias_from_mask_logits(masks, size_list[0])
@@ -301,7 +325,7 @@ class MaskedTransformerDecoder(nn.Module):
             output = FFNLayer(
                 self.hidden_dim, self.dim_feedforward, self.pre_norm, name=f"ffn{i}"
             )(output)
-            logits, masks, dec_out = heads(output, mf, video)
+            logits, masks, dec_out = heads(output, mf, video, attn_features)
             all_logits.append(logits)
             all_masks.append(masks)
             attn_bias = attn_bias_from_mask_logits(
@@ -309,10 +333,15 @@ class MaskedTransformerDecoder(nn.Module):
             )
 
         out: Dict[str, Any] = {"size_list": size_list}
+        if attn_features is not None:
+            out["attn_feats"] = attn_features
         if video:
             # masks already (B, Q, T, H, W); logits (B, Q, C)
             out["pred_masks_all"] = jnp.stack(all_masks)        # (L+1, B, Q, T, H, W)
-            if self.head != "none":
+            if self.head == "side_adapter":
+                # biases (B*T?, nH, Q, h, w) — video side decoder keeps B
+                out["class_attn_biases_all"] = jnp.stack(all_logits)
+            elif self.head != "none":
                 out["pred_logits_all"] = jnp.stack(all_logits)  # (L+1, B, Q, C)
         else:
             # reshape (b t) -> b, t like the reference (frame_...py:113-123)
@@ -320,11 +349,16 @@ class MaskedTransformerDecoder(nn.Module):
                 btq = m.shape
                 return m.reshape(bs, t, *btq[1:]).transpose(0, 2, 1, 3, 4)
 
-            def to_video_logits(l):  # (B*T, Q, C) -> (B, T, Q, C)
+            def to_video_logits(l):  # (B*T, Q, ...) -> (B, T, Q, ...)
                 return l.reshape(bs, t, *l.shape[1:])
 
             out["pred_masks_all"] = jnp.stack([to_video_masks(m) for m in all_masks])
-            if self.head != "none":
+            if self.head == "side_adapter":
+                # (B*T, nH, Q, h, w) -> (B, T, nH, Q, h, w)
+                out["class_attn_biases_all"] = jnp.stack(
+                    [to_video_logits(l) for l in all_logits]
+                )
+            elif self.head != "none":
                 out["pred_logits_all"] = jnp.stack(
                     [to_video_logits(l) for l in all_logits]
                 )
@@ -334,6 +368,9 @@ class MaskedTransformerDecoder(nn.Module):
             out["mask_feats"] = mf
             out["ms_feats"] = srcs
             out["ms_pos"] = poses
-        out["pred_logits"] = out["pred_logits_all"][-1] if self.head != "none" else None
+        if "pred_logits_all" in out:
+            out["pred_logits"] = out["pred_logits_all"][-1]
+        if "class_attn_biases_all" in out:
+            out["class_attn_biases"] = out["class_attn_biases_all"][-1]
         out["pred_masks"] = out["pred_masks_all"][-1]
         return out

@@ -33,12 +33,17 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def label_params(params) -> Any:
+def label_params(params, freeze_prefixes=()) -> Any:
     """Label each param: 'frozen' | 'backbone' | 'backbone_nodecay' |
-    'main' | 'nodecay'."""
+    'main' | 'nodecay'.  ``freeze_prefixes``: top-level subtree names whose
+    params get zero updates (BriVIS stage 2 freezes segmenter +
+    clip_adapter, brivis.py:36-41)."""
 
     def label(path, x):
         p = _path_str(path).lower()
+        for pref in freeze_prefixes:
+            if p.startswith(pref.lower()):
+                return "frozen"
         frozen_affine = ("norm" in p and "scale" in p.split("/")[-1]) or (
             "norm" in p and p.split("/")[-1] == "bias"
         )
@@ -89,7 +94,10 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
             ),
         )
 
-    labels = label_params(params)
+    freeze_prefixes = (
+        ("segmenter", "clip_adapter") if cfg.model.freeze_segmenter else ()
+    )
+    labels = label_params(params, freeze_prefixes)
     tx = optax.multi_transform(
         {
             "main": adamw(1.0, s.weight_decay),

@@ -62,9 +62,34 @@ def init_model(cfg: Config, rng, sample_batch) -> Any:
     return model, variables["params"]
 
 
-def make_loss_fn(cfg: Config, model, num_text_classes: int):
+def make_loss_fn(
+    cfg: Config, model, num_text_classes: int, brivis_image_matcher: bool = True
+):
     online = is_online(cfg)
     amp = cfg.solver.amp
+    arch = cfg.model.meta_architecture
+
+    def compute_losses(rng, out, targets):
+        if arch == "BriVIS":
+            from openvis_tpu.models.meta.brivis import brivis_loss
+
+            return brivis_loss(
+                rng, out, targets, cfg.model, num_text_classes,
+                image_matcher=brivis_image_matcher,
+            )
+        if arch.startswith("OpenVIS"):
+            from openvis_tpu.models.meta.openvis import openvis_loss
+
+            return openvis_loss(rng, out, targets, cfg.model, online)
+        if arch.startswith("SAN"):
+            from openvis_tpu.models.meta.san import san_loss
+
+            return san_loss(
+                rng, out, targets, cfg.model, num_text_classes, online
+            )
+        return simple_baseline_loss(
+            rng, out, targets, cfg.model, num_text_classes, online
+        )
 
     def loss_fn(params, batch, rng) -> Tuple[jax.Array, Dict[str, jax.Array]]:
         pixels = batch["pixels"]  # (B, T, H, W, 3)
@@ -77,9 +102,7 @@ def make_loss_fn(cfg: Config, model, num_text_classes: int):
             k: (v.astype(jnp.float32) if isinstance(v, jax.Array) else v)
             for k, v in out.items()
         }
-        losses = simple_baseline_loss(
-            rng, out, batch["targets"], cfg.model, num_text_classes, online
-        )
+        losses = compute_losses(rng, out, batch["targets"])
         metrics = {
             "loss_ce": losses["loss_ce"].sum(),
             "loss_mask": losses["loss_mask"].sum(),

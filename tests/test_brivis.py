@@ -1,0 +1,133 @@
+"""BriVIS: frozen SAN + tracking + temporal resampler + brownian loss."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvis_tpu.config import Config
+from openvis_tpu.losses.brownian import brownian_bridge_loss
+from openvis_tpu.models.meta.brivis import BriVISModel, brivis_loss
+from openvis_tpu.parallel.train_step import TrainState, make_optimizer, make_train_step
+from openvis_tpu.structures import ClipTargets
+from openvis_tpu.train import make_loss_fn
+
+K, D = 5, 32
+B, T, H, W, N = 1, 3, 64, 96, 4  # T=3: brivis trains with 3 frames
+
+
+def brivis_tiny_config() -> Config:
+    cfg = Config()
+    m = dataclasses.replace(
+        cfg.model,
+        meta_architecture="BriVIS",
+        num_classes=K,
+        freeze_segmenter=True,
+        pixel_decoder=dataclasses.replace(
+            cfg.model.pixel_decoder,
+            conv_dim=64, mask_dim=64, transformer_enc_layers=1,
+            dim_feedforward=128, num_heads=4,
+        ),
+        transformer_decoder=dataclasses.replace(
+            cfg.model.transformer_decoder,
+            name="side_adapter_frame",
+            hidden_dim=64, num_queries=8, nheads=4, dim_feedforward=128,
+            dec_layers=2, mask_dim=64, clip_embed_dim=D,
+        ),
+        clip_adapter=dataclasses.replace(
+            cfg.model.clip_adapter,
+            clip_model_name="test-tiny", clip_num_heads=4,
+            clip_embed_dims=D, broken_id=3, merge_ids=(1, 2, 3),
+        ),
+        resampler=dataclasses.replace(cfg.model.resampler, num_layers=2),
+        criterion=dataclasses.replace(cfg.model.criterion, train_num_points=128),
+    )
+    s = dataclasses.replace(cfg.solver, amp=False, warmup_iters=0)
+    return dataclasses.replace(cfg, model=m, solver=s)
+
+
+def _batch(rng):
+    labels = rng.randint(0, K, (B, N)).astype(np.int32)
+    masks = np.zeros((B, N, T, H, W), np.float32)
+    masks[:, :2, :, 10:30, 20:50] = 1.0
+    valid = np.zeros((B, N), bool)
+    valid[:, :2] = True
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    return {
+        "pixels": jnp.asarray(rng.randn(B, T, H, W, 3).astype(np.float32)),
+        "targets": ClipTargets(
+            labels=jnp.asarray(labels), masks=jnp.asarray(masks),
+            valid=jnp.asarray(valid),
+            frame_valid=jnp.asarray(np.ones((B, N, T), bool)),
+        ),
+        "text_feats": jnp.asarray(text),
+    }
+
+
+def test_brownian_loss_shapes_and_sanity():
+    rng = np.random.RandomState(0)
+    e = jnp.asarray(rng.randn(2, 4, 6, 16).astype(np.float32))
+    bc, htm = brownian_bridge_loss(jax.random.PRNGKey(0), e)
+    assert np.isfinite(float(bc)) and np.isfinite(float(htm))
+    # a perfectly linear bridge scores better (lower -log ratio) than noise
+    t = 4
+    base = rng.randn(1, 1, 6, 16).astype(np.float32)
+    drift = rng.randn(1, 1, 6, 16).astype(np.float32) * 0.05
+    lin = jnp.asarray(
+        np.concatenate([base + i * drift for i in range(t)], axis=1)
+    )
+    bc_lin, _ = brownian_bridge_loss(jax.random.PRNGKey(0), lin)
+    assert float(bc_lin) < float(bc) + 1e-3
+
+
+def test_brivis_train_step_freezes_stage1():
+    cfg = brivis_tiny_config()
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    model = BriVISModel(cfg.model)
+    frames = batch["pixels"].reshape(B * T, H, W, 3)
+    params = model.init(
+        jax.random.PRNGKey(0), frames, T, batch["text_feats"]
+    )["params"]
+
+    out = model.apply({"params": params}, frames, T, batch["text_feats"])
+    L = cfg.model.resampler.num_layers + 1
+    q = cfg.model.transformer_decoder.num_queries
+    assert out["pred_logits_all"].shape == (L, B, T, q, K + 1)
+    assert out["pred_masks_all"].shape[0] == L
+    assert out["brownian_embeds"].shape == (B, T, q, 64)
+
+    losses = brivis_loss(
+        jax.random.PRNGKey(1), out, batch["targets"], cfg.model, K,
+        image_matcher=True,
+    )
+    assert np.isfinite(float(losses["total"]))
+
+    loss_fn = make_loss_fn(cfg, model, K)
+    tx = make_optimizer(cfg, params)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(loss_fn, tx))
+    state, metrics = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["total_loss"]))
+
+    # stage-1 (segmenter + clip adapter) params must be untouched
+    def flat(p):
+        return jax.tree_util.tree_leaves_with_path(p)
+
+    for path, leaf in flat(params["segmenter"]):
+        new = state.params["segmenter"]
+        for k in path:
+            new = new[k.key]
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(new))
+    # resampler must move
+    moved = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()),
+        jax.tree.map(
+            lambda a, b: a - b,
+            state.params["resampler"], params["resampler"],
+        ),
+        0.0,
+    )
+    assert moved > 0

@@ -1,0 +1,96 @@
+"""SAN: side-adapter decoder + biased CLIP post-encode end-to-end (tiny)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvis_tpu.config import Config
+from openvis_tpu.models.meta.san import SANModel, san_loss
+from openvis_tpu.models.side_adapter import adaptive_max_pool
+from openvis_tpu.structures import ClipTargets
+
+K, D = 5, 32
+B, T, H, W, N = 1, 2, 64, 96, 4
+
+
+def san_tiny_config() -> Config:
+    cfg = Config()
+    m = dataclasses.replace(
+        cfg.model,
+        meta_architecture="SANOnline",
+        num_classes=K,
+        pixel_decoder=dataclasses.replace(
+            cfg.model.pixel_decoder,
+            conv_dim=64, mask_dim=64, transformer_enc_layers=1,
+            dim_feedforward=128, num_heads=4,
+        ),
+        transformer_decoder=dataclasses.replace(
+            cfg.model.transformer_decoder,
+            name="side_adapter_frame",
+            hidden_dim=64, num_queries=8, nheads=4, dim_feedforward=128,
+            dec_layers=2, mask_dim=64, clip_embed_dim=D,
+        ),
+        clip_adapter=dataclasses.replace(
+            cfg.model.clip_adapter,
+            name="side", clip_model_name="test-tiny", clip_num_heads=4,
+            clip_embed_dims=D, broken_id=3, merge_ids=(1, 2, 3),
+        ),
+        criterion=dataclasses.replace(cfg.model.criterion, train_num_points=128),
+    )
+    return dataclasses.replace(cfg, model=m)
+
+
+def test_adaptive_max_pool_matches_torch():
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    for (h, w, th, tw) in [(30, 54, 8, 8), (14, 14, 14, 14), (7, 9, 3, 4)]:
+        x = rng.randn(2, 3, h, w).astype(np.float32)
+        ours = np.asarray(adaptive_max_pool(jnp.asarray(x), (th, tw)))
+        ref = F.adaptive_max_pool2d(torch.from_numpy(x), (th, tw)).numpy()
+        np.testing.assert_allclose(ours, ref, rtol=1e-6)
+
+
+def test_san_forward_and_loss():
+    cfg = san_tiny_config()
+    model = SANModel(cfg.model)
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randn(B * T, H, W, 3).astype(np.float32))
+    text = rng.randn(K, D).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True))
+
+    params = model.init(jax.random.PRNGKey(0), frames, T, text)["params"]
+    out = model.apply({"params": params}, frames, T, text)
+
+    q = cfg.model.transformer_decoder.num_queries
+    L = cfg.model.transformer_decoder.dec_layers + 1
+    assert out["pred_logits_all"].shape == (L, B, T, q, K + 1)
+    assert out["pred_masks_all"].shape[0] == L
+    assert out["class_attn_biases_all"].shape[:4] == (L, B, T, 4)
+    assert np.isfinite(np.asarray(out["pred_logits_all"])).all()
+
+    labels = rng.randint(0, K, (B, N)).astype(np.int32)
+    masks = np.zeros((B, N, T, H, W), np.float32)
+    masks[:, :2, :, 10:30, 20:50] = 1.0
+    valid = np.zeros((B, N), bool)
+    valid[:, :2] = True
+    tg = ClipTargets(
+        labels=jnp.asarray(labels), masks=jnp.asarray(masks),
+        valid=jnp.asarray(valid),
+        frame_valid=jnp.asarray(np.ones((B, N, T), bool)),
+    )
+    losses = san_loss(jax.random.PRNGKey(1), out, tg, cfg.model, K, online=True)
+    assert np.isfinite(float(losses["total"]))
+
+    # gradients flow into both the decoder and the side-adapter bg embed
+    def f(p):
+        o = model.apply({"params": p}, frames, T, text)
+        return san_loss(jax.random.PRNGKey(1), o, tg, cfg.model, K, True)["total"]
+
+    g = jax.grad(f)(params)
+    assert float(jnp.abs(g["clip_adapter"]["bg_embed"]).sum()) > 0
+    assert float(jnp.abs(g["segmenter"]["predictor"]["heads"]["attn_embed"]["layer0"]["kernel"]).sum()) > 0
