@@ -61,6 +61,7 @@ _DECODER_KINDS = {
     "frame_proposal": ("frame", "proposal"),
     "side_adapter_frame": ("frame", "side_adapter"),
     "side_adapter_video": ("video", "side_adapter"),
+    "ov2seg_frame": ("frame", "ov2seg"),
 }
 
 

@@ -27,19 +27,25 @@ def _normalize(x, eps=1e-6):
     return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + eps)
 
 
-def track_by_embeds(pred_embeds: jax.Array) -> jax.Array:
+def track_by_embeds(pred_embeds: jax.Array, ema_alpha: float = 1.0) -> jax.Array:
     """pred_embeds: (B, T, Q, C) -> indices (B, T, Q) int32 such that
     ``aligned[t, k] = raw[t, indices[t, k]]`` keeps identity k consistent
-    over time (identity = frame-0 query order, like the reference)."""
+    over time (identity = frame-0 query order, like the reference).
+
+    ``ema_alpha < 1`` blends the carried reference embedding as
+    ``alpha * cur + (1 - alpha) * prev`` per step — OV2Seg's tracker
+    (``ov2seg.py:926-934``, alpha = 0.7); MinVIS is alpha = 1.
+    """
     embeds = jax.lax.stop_gradient(_normalize(pred_embeds))
     b, t, q, c = embeds.shape
 
-    def step(prev_aligned, cur):  # prev_aligned, cur: (B, Q, C)
+    def step(prev_carry, cur):  # prev_carry, cur: (B, Q, C)
         # cost[tgt, cur] = 1 - cos(prev_tgt, cur): rows=targets (prev order)
-        cos = jnp.einsum("bqc,bkc->bqk", prev_aligned, cur)
+        cos = jnp.einsum("bqc,bkc->bqk", _normalize(prev_carry), cur)
         idx = batched_hungarian(1.0 - cos)          # (B, Q): col per target row
         aligned = jnp.take_along_axis(cur, idx[..., None], axis=1)
-        return aligned, idx
+        carry = ema_alpha * aligned + (1.0 - ema_alpha) * prev_carry
+        return carry, idx
 
     embeds_t = jnp.swapaxes(embeds, 0, 1)  # (T, B, Q, C)
     _, indices_t = jax.lax.scan(step, embeds_t[0], embeds_t)

@@ -196,6 +196,14 @@ class PredictionHeads(nn.Module):
             # attn_features: (B, nH, h, w, C); bias (B, nH, Q, h, w)
             attn_embed = MLP(self.hidden_dim, self.hidden_dim, 3, name="attn_embed")(x)
             logits = jnp.einsum("bqc,bnhwc->bnqhw", attn_embed, attn_features)
+        elif self.head == "ov2seg":
+            # OV2Seg (ov2seg.py:489-529 + object head): zero-shot classifier
+            # MLP hidden -> D/2 -> D plus a 2-way objectness head, packed on
+            # the last axis as [zs_embed (D) | obj (2)]
+            e = nn.Dense(self.clip_dim // 2, name="zs_fc1")(x)
+            e = nn.Dense(self.clip_dim, name="zs_fc2")(nn.relu(e))
+            obj = nn.Dense(2, name="object_embed")(x)
+            logits = jnp.concatenate([e, obj], axis=-1)
         else:
             logits = None
         mask_embed = MLP(self.hidden_dim, self.mask_dim, 3, name="mask_embed")(x)

@@ -41,10 +41,18 @@ def build_model(cfg: Config):
         from openvis_tpu.models.meta.brivis import BriVISModel
 
         return BriVISModel(cfg.model)
-    if name == "VideoMaskFormer":
+    if name in ("VideoMaskFormer", "MinVIS"):
         from openvis_tpu.models.meta.video_maskformer import VideoMaskFormerModel
 
         return VideoMaskFormerModel(cfg.model)
+    if name in ("MasQCLIP",):
+        from openvis_tpu.models.meta.masqclip import MasQCLIPModel
+
+        return MasQCLIPModel(cfg.model)
+    if name in ("OV2Seg", "OV2SegOnline"):
+        from openvis_tpu.models.meta.ov2seg import OV2SegModel
+
+        return OV2SegModel(cfg.model)
     raise ValueError(f"unknown meta architecture {name!r}")
 
 
@@ -87,6 +95,20 @@ def make_loss_fn(
             return san_loss(
                 rng, out, targets, cfg.model, num_text_classes, online
             )
+        if arch.startswith("OV2Seg"):
+            from openvis_tpu.models.meta.ov2seg import ov2seg_loss
+
+            return ov2seg_loss(rng, out, targets, cfg.model, num_text_classes)
+        if arch == "MasQCLIP":
+            from openvis_tpu.models.meta.masqclip import masqclip_loss
+
+            return masqclip_loss(rng, out, targets, cfg.model, num_text_classes)
+        if arch in ("VideoMaskFormer", "MinVIS"):
+            from openvis_tpu.models.meta.video_maskformer import (
+                video_maskformer_loss,
+            )
+
+            return video_maskformer_loss(rng, out, targets, cfg.model, online)
         return simple_baseline_loss(
             rng, out, targets, cfg.model, num_text_classes, online
         )

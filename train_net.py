@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Training / evaluation CLI.
+
+Rebuild of the reference's ``train_net.py`` (Trainer + launch): single
+process drives all local TPU devices through a jitted, mesh-sharded train
+step (the reference spawns one DDP process per GPU, ``train_net.py:303-313``).
+
+Usage:
+  python train_net.py --config-file configs/simplebsl_online_R50.yaml
+  python train_net.py --config-file ... --eval-only --weights ckpt_dir
+  python train_net.py --config-file ... solver.max_iter=100  # overrides
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("openvis_tpu")
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--eval-only", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--weights", default="", help="checkpoint dir or pretrained msgpack")
+    p.add_argument("--max-videos", type=int, default=None, help="eval video cap")
+    p.add_argument("opts", nargs="*", help="dotted config overrides a.b=c")
+    return p.parse_args()
+
+
+def build_text_bank(cfg):
+    from openvis_tpu.models.clip.model import CLIPTextEncoder, _MODEL_SHAPES
+    from openvis_tpu.models.clip.prompts import get_templates
+    from openvis_tpu.models.clip.text_bank import TextEmbeddingBank
+    from openvis_tpu.models.clip.tokenizer import SimpleTokenizer
+    from tools.convert_weights import load_msgpack
+
+    ca = cfg.model.clip_adapter
+    shape = _MODEL_SHAPES[ca.clip_model_name]
+    enc = CLIPTextEncoder(
+        width=shape["text_width"], heads=shape["text_heads"],
+        layers=shape["text_layers"], embed_dim=shape["embed_dim"],
+        vocab_size=shape.get("vocab_size", 49408),
+        context_length=shape.get("context_length", 77),
+    )
+    if not ca.weights:
+        raise SystemExit(
+            "model.clip_adapter.weights must point to a converted CLIP "
+            "msgpack (tools/convert_weights.py clip ...)"
+        )
+    tree = load_msgpack(ca.weights)
+    tokenizer = SimpleTokenizer(ca.bpe_vocab)
+    templates = get_templates(ca.prompt_name, ca.predefined_templates)
+    return TextEmbeddingBank(enc, tree["text"], tokenizer, templates)
+
+
+def main():
+    args = parse_args()
+    logging.basicConfig(level=logging.INFO)
+
+    from openvis_tpu.checkpoint import (
+        latest_step,
+        merge_pretrained,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from openvis_tpu.config import load_config
+    from openvis_tpu.data import catalog
+    from openvis_tpu.data.loader import TrainLoader
+    from openvis_tpu.engine import evaluate_dataset
+    from openvis_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+    from openvis_tpu.parallel.train_step import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+    )
+    from openvis_tpu.train import build_model, init_model, make_loss_fn
+
+    cfg = load_config(args.config_file, args.opts)
+    out_dir = cfg.output_dir
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    # class names of the training taxonomy (simplebsl.py:50-57)
+    train_info = catalog.get(cfg.datasets.train[0])
+    class_names = list(train_info.thing_classes)
+    k = len(class_names)
+
+    bank = build_text_bank(cfg)
+    text_feats = bank.encode(class_names)
+
+    mesh = make_mesh()
+    logger.info("devices: %s", jax.devices())
+
+    # init with one sample batch shape
+    loader = None if args.eval_only else TrainLoader(cfg, seed=cfg.seed)
+    if args.eval_only:
+        inp = cfg.input
+        sample = {
+            "pixels": jnp.zeros(
+                (1, inp.sampling_frame_num, *inp.pad_size, 3), jnp.float32
+            ),
+            "text_feats": jnp.asarray(text_feats),
+        }
+    else:
+        sample = next(iter(loader))
+        sample["text_feats"] = jnp.asarray(text_feats)
+    model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed), sample)
+
+    # pretrained init (msgpack from tools/convert_weights.py)
+    if cfg.model.weights and os.path.exists(cfg.model.weights):
+        from tools.convert_weights import load_msgpack
+
+        pre = load_msgpack(cfg.model.weights)
+        params = merge_pretrained(params, pre, subtree="segmenter")
+        logger.info("loaded pretrained segmenter init from %s", cfg.model.weights)
+    if cfg.model.clip_adapter.weights and "clip_adapter" in params:
+        from tools.convert_weights import load_msgpack
+
+        clip_tree = load_msgpack(cfg.model.clip_adapter.weights)
+        params["clip_adapter"] = merge_pretrained(
+            params["clip_adapter"], {"visual": clip_tree["visual"]}
+        )
+        logger.info("loaded CLIP visual weights")
+
+    tx = make_optimizer(cfg, params)
+    state = TrainState.create(params, tx)
+
+    if args.resume or args.eval_only:
+        restored = restore_checkpoint(args.weights or ckpt_dir, state)
+        if restored is not None:
+            state = restored
+            logger.info("resumed at step %d", int(state.step))
+
+    if args.eval_only:
+        for ds in cfg.datasets.test:
+            names = list(catalog.get(ds).thing_classes)
+            tf = bank.encode(names)
+            metrics = evaluate_dataset(
+                cfg, model, state.params, ds, tf, args.max_videos
+            )
+            logger.info("%s: %s", ds, json.dumps(metrics))
+            with open(os.path.join(out_dir, f"metrics_{ds}.json"), "w") as f:
+                json.dump(metrics, f)
+        return
+
+    # --- train loop ---
+    loss_fn = make_loss_fn(cfg, model, k)
+    step_fn = jax.jit(make_train_step(loss_fn, tx), donate_argnums=0)
+    # BriVIS switches matcher source at half training (brivis.py:183-190)
+    step_fn_late = None
+    if cfg.model.meta_architecture == "BriVIS":
+        step_fn_late = jax.jit(
+            make_train_step(
+                make_loss_fn(cfg, model, k, brivis_image_matcher=False), tx
+            ),
+            donate_argnums=0,
+        )
+
+    repl = replicated(mesh)
+    data = data_sharding(mesh)
+    state = jax.device_put(state, repl)
+    rng = jax.random.PRNGKey(cfg.seed)
+    text_dev = jax.device_put(jnp.asarray(text_feats), repl)
+
+    start = int(state.step)
+    t0 = time.time()
+    for it in range(start, cfg.solver.max_iter):
+        batch = next(loader)
+        batch["text_feats"] = text_dev
+        batch = {
+            "pixels": jax.device_put(batch["pixels"], data),
+            "targets": jax.tree.map(
+                lambda x: jax.device_put(x, data), batch["targets"]
+            ),
+            "text_feats": text_dev,
+        }
+        fn = step_fn
+        if step_fn_late is not None and it >= cfg.solver.max_iter // 2:
+            fn = step_fn_late
+        state, metrics = fn(state, batch, rng)
+        if (it + 1) % 20 == 0:
+            m = {k_: float(v) for k_, v in metrics.items()}
+            rate = (it + 1 - start) / (time.time() - t0)
+            logger.info("iter %d: %s (%.2f it/s)", it + 1, json.dumps(m), rate)
+        if (it + 1) % cfg.solver.checkpoint_period == 0 or (
+            it + 1 == cfg.solver.max_iter
+        ):
+            save_checkpoint(ckpt_dir, it + 1, jax.device_get(state))
+            logger.info("saved checkpoint at %d", it + 1)
+
+
+if __name__ == "__main__":
+    main()
