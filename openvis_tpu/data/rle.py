@@ -25,6 +25,11 @@ import numpy as np
 
 def encode_counts(mask: np.ndarray) -> List[int]:
     """mask: (H, W) {0,1} -> run lengths, column-major, starting with 0s."""
+    from openvis_tpu.native import native_encode
+
+    nat = native_encode(mask)
+    if nat is not None:
+        return nat.tolist()
     flat = np.asfortranarray(mask).reshape(-1, order="F").astype(np.uint8)
     if flat.size == 0:
         return [0]
@@ -135,9 +140,25 @@ def segm_to_mask(segm, h: int, w: int) -> np.ndarray:
     raise TypeError(f"unknown segmentation type {type(segm)}")
 
 
+def _counts_list(rle: Dict) -> List[int]:
+    counts = rle["counts"]
+    if isinstance(counts, (str, bytes)):
+        return string_to_counts(counts)
+    return list(counts)
+
+
 def rle_intersection_union(d: Dict, g: Dict) -> tuple:
-    """Pixel intersection and union of two RLEs (decoded path; the C fast
-    path can replace this without touching callers)."""
+    """Pixel intersection and union of two RLEs.  Uses the native run-walk
+    kernel (openvis_tpu/native/rle_ops.c) when available — no mask decode —
+    with a numpy decode fallback."""
+    from openvis_tpu.native import native_intersection_union
+
+    nat = native_intersection_union(
+        np.asarray(_counts_list(d), np.int64),
+        np.asarray(_counts_list(g), np.int64),
+    )
+    if nat is not None:
+        return nat
     md = decode(d).astype(bool)
     mg = decode(g).astype(bool)
     inter = int(np.logical_and(md, mg).sum())
