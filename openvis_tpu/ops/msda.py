@@ -81,7 +81,7 @@ def _sample_level(v, loc, attn, h: int, w: int):
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
-    def corner(dy: int, dx: int, wgt):
+    def corner_idx_w(dy: int, dx: int, wgt):
         yy = y0i + dy
         xx = x0i + dx
         inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
@@ -89,20 +89,29 @@ def _sample_level(v, loc, attn, h: int, w: int):
         # weight includes attention and zero-padding mask; fold in BEFORE the
         # gather-sum so all 4 corners share one contraction pattern.
         cw = (wgt * attn * inb.astype(compute_dtype))               # (B, Lq, nh, P)
-        # head-major gather: idx -> (B, nh, Lq*P)
-        idx_t = jnp.transpose(idx, (0, 2, 1, 3)).reshape(b, n_heads, len_q * p)
-        g = jnp.take_along_axis(v, idx_t[..., None], axis=2)        # (B, nh, Lq*P, ch)
-        g = g.reshape(b, n_heads, len_q, p, ch)
-        cw_t = jnp.transpose(cw, (0, 2, 1, 3))                      # (B, nh, Lq, P)
-        return jnp.einsum("bhqp,bhqpc->bhqc", cw_t, g)
+        return idx, cw
 
     one = jnp.ones((), compute_dtype)
-    return (
-        corner(0, 0, (one - ly) * (one - lx))
-        + corner(0, 1, (one - ly) * lx)
-        + corner(1, 0, ly * (one - lx))
-        + corner(1, 1, ly * lx)
+    corners = [
+        corner_idx_w(0, 0, (one - ly) * (one - lx)),
+        corner_idx_w(0, 1, (one - ly) * lx),
+        corner_idx_w(1, 0, ly * (one - lx)),
+        corner_idx_w(1, 1, ly * lx),
+    ]
+    # ONE row-gather for all 4 corners: idx (B, nh, 4*Lq*P).  Row-structured
+    # gathers (slice = the contiguous ch row) lower to efficient TPU gathers,
+    # unlike take_along_axis whose broadcast emits elementwise gathers.
+    idx_all = jnp.stack([c[0] for c in corners])                    # (4, B, Lq, nh, P)
+    w_all = jnp.stack([c[1] for c in corners])
+    idx_t = jnp.transpose(idx_all, (1, 3, 0, 2, 4)).reshape(
+        b, n_heads, 4 * len_q * p
     )
+    w_t = jnp.transpose(w_all, (1, 3, 0, 2, 4)).reshape(
+        b, n_heads, 4, len_q, p
+    )
+    gather_rows = jax.vmap(jax.vmap(lambda vb, ib: jnp.take(vb, ib, axis=0)))
+    g = gather_rows(v, idx_t).reshape(b, n_heads, 4, len_q, p, ch)
+    return jnp.einsum("bhkqp,bhkqpc->bhqc", w_t, g)
 
 
 def ms_deform_attn_oracle(value, spatial_shapes, sampling_locations, attention_weights):

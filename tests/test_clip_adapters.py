@@ -1,0 +1,114 @@
+"""Mask-crop adapter geometry + mask-adapted CLIP prompt path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvis_tpu.models.clip_adapter import (
+    clip_crop_classify,
+    frame_average_scores,
+    mask_square_boxes,
+    roi_crop,
+)
+from openvis_tpu.models.clip_mask_adapted import (
+    MaskAdaptedVisual,
+    adapted_clip_crop_classify,
+)
+
+
+def test_mask_square_boxes():
+    m = np.zeros((2, 32, 48), np.float32)
+    m[0, 4:12, 10:30] = 1.0  # h=8, w=20 -> square side 20 from (10, 4)
+    boxes, valid = mask_square_boxes(jnp.asarray(m))
+    assert bool(valid[0]) and not bool(valid[1])
+    np.testing.assert_allclose(np.asarray(boxes[0]), [10, 4, 30, 24])
+
+
+def test_roi_crop_identity():
+    rng = np.random.RandomState(0)
+    img = rng.randn(1, 16, 16, 3).astype(np.float32)
+    boxes = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])
+    out = roi_crop(jnp.asarray(img), boxes, 16)
+    np.testing.assert_allclose(np.asarray(out), img, rtol=1e-5, atol=1e-5)
+
+
+def test_roi_crop_matches_torch_roi_align():
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    from torchvision.ops import roi_align
+
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, 24, 36, 3).astype(np.float32)
+    box = [4.0, 2.0, 28.0, 20.0]
+    ours = np.asarray(roi_crop(jnp.asarray(img), jnp.asarray([box]), 8))
+    t_img = torch.from_numpy(img.transpose(0, 3, 1, 2))
+    t_box = torch.tensor([[0.0] + box])
+    ref = roi_align(t_img, t_box, output_size=(8, 8), sampling_ratio=1)
+    ref = ref.numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_clip_crop_classify_shapes_and_validity():
+    T, Q, H, W, D, K = 2, 3, 64, 96, 16, 4
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.rand(T, H, W, 3).astype(np.float32) * 255)
+    masks = np.zeros((T, Q, H, W), np.float32)
+    masks[:, 0, 10:30, 20:50] = 0.9  # only query 0 valid
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+
+    def fake_visual(imgs):  # (R, S, S, 3) -> (R, D)
+        return imgs.mean(axis=(1, 2)) @ jnp.ones((3, D))
+
+    logits, valid = clip_crop_classify(
+        fake_visual, frames, jnp.asarray(masks), jnp.asarray(text),
+        input_resolution=32,
+    )
+    assert logits.shape == (T, Q, K) and valid.shape == (T, Q)
+    assert bool(valid[0, 0]) and not bool(valid[0, 1])
+
+    scores, qv = frame_average_scores(logits, valid, "logits_then_softmax")
+    assert scores.shape == (Q, K)
+    np.testing.assert_allclose(np.asarray(scores.sum(-1)), 1.0, rtol=1e-5)
+
+
+def test_mask_adapted_visual_prompt_changes_output():
+    vis = MaskAdaptedVisual(
+        patch_size=8, width=32, layers=3, heads=4, embed_dim=16,
+        image_size=32, mask_prompt_depth=2,
+    )
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 32, 32, 3).astype(np.float32))
+    mask = np.zeros((2, 32, 32), np.float32)
+    mask[:, 8:24, 8:24] = 1.0
+    params = vis.init(jax.random.PRNGKey(0), img, jnp.asarray(mask))["params"]
+    assert params["mask_embedding"].shape == (2, 16, 32)
+    with_mask = vis.apply({"params": params}, img, jnp.asarray(mask))
+    without = vis.apply({"params": params}, img, None)
+    assert with_mask.shape == (2, 16)
+    # zero-init mask embedding still changes背景 tokens (x*m + 0*(1-m))
+    assert np.abs(np.asarray(with_mask) - np.asarray(without)).max() > 1e-5
+
+
+def test_adapted_crop_classify():
+    T, Q, H, W, D, K = 1, 2, 64, 64, 16, 3
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.rand(T, H, W, 3).astype(np.float32) * 255)
+    masks = np.zeros((T, Q, H, W), np.float32)
+    masks[:, 0, 8:40, 8:40] = 0.9
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+
+    def fake_visual(imgs, m):
+        base = imgs.mean(axis=(1, 2)) @ jnp.ones((3, D))
+        if m is not None:
+            base = base + m.mean(axis=(1, 2))[:, None]
+        return base
+
+    logits, valid = adapted_clip_crop_classify(
+        fake_visual, frames, jnp.asarray(masks), jnp.asarray(text),
+        input_resolution=32,
+    )
+    assert logits.shape == (T, Q, K)
+    assert bool(valid[0, 0]) and not bool(valid[0, 1])
