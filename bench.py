@@ -48,14 +48,19 @@ def main(tiny: bool = False):
     )
     eval_fn = jax.jit(make_eval_fn(cfg, model))
 
-    out = eval_fn(params, frames.astype(jnp.bfloat16), text.astype(jnp.bfloat16))
-    jax.block_until_ready(out)
+    def run():
+        out = eval_fn(
+            params, frames.astype(jnp.bfloat16), text.astype(jnp.bfloat16)
+        )
+        # materialize to host: block_until_ready does not reliably fence
+        # through the remote-TPU tunnel
+        return np.asarray(out["scores"])
 
+    run()
     iters = 3 if tiny else 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = eval_fn(params, frames.astype(jnp.bfloat16), text.astype(jnp.bfloat16))
-    jax.block_until_ready(out)
+        r = run()
     dt = time.perf_counter() - t0
     fps = iters * t / dt
 

@@ -2,16 +2,24 @@
 
 Rebuild of the reference's eval path (``train_net.py:205-253`` Trainer.test
 + per-model ``run_window_inference``, ``minvis.py:340-362`` /
-``san.py:285-307``): long videos are chunked into fixed-size windows, the
-per-frame stack runs per window, and the small per-frame artifacts (query
-embeddings, logits) plus 1/4-res mask logits are concatenated over windows;
-cross-window identity is restored by embedding tracking over the full
-concatenated sequence (``minvis.py:320-338``).
+``san.py:285-307`` / ``ov2seg.py:961-985`` / ``openvis.py:244-281``): long
+videos are chunked into fixed-size windows, the per-frame stack runs per
+window, and the small per-frame artifacts (query embeddings, logits) plus
+1/4-res mask logits are concatenated over windows; cross-window identity is
+restored by embedding tracking over the full concatenated sequence
+(``minvis.py:320-338``).
 
-TPU deltas: windows are a fixed static shape (the last window is padded by
-repeating its final valid frame), so the whole video evaluates with exactly
-two traces (window forward + postprocess per T-bucket); masks stay on
-device at 1/4 resolution until the final host-side RLE encode.
+Per-arch score paths:
+  * SimpleBSL / SAN / MinVIS: softmax(frame-mean logits) minus bg;
+  * OV2Seg: sqrt(sigmoid(cls) * p_obj) with EMA tracking and per-frame
+    score gating;
+  * OpenVIS: class-agnostic masks scored by chunked mask-crop CLIP
+    classification after tracking (boxes computed on the 1/4 grid, scaled
+    x4 for the frame crop — no full-res mask upsample).
+
+TPU deltas: windows are a fixed static shape (tail padded by repeating the
+last valid frame), so a whole video evaluates with a handful of traces;
+masks stay on device at 1/4 resolution until the final host-side RLE encode.
 """
 
 from __future__ import annotations
@@ -19,8 +27,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-import time
-from typing import Dict, Iterator, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,45 +37,82 @@ from openvis_tpu.config import Config
 from openvis_tpu.data import catalog
 from openvis_tpu.data.loader import test_videos
 from openvis_tpu.evals.ytvis_eval import YTVISEvaluator
-from openvis_tpu.models.meta.simple_baseline import eval_scores
 from openvis_tpu.models.postprocess import inference_video_topk
 from openvis_tpu.models.tracking import apply_track_indices, track_by_embeds
-from openvis_tpu.train import is_online
 
 logger = logging.getLogger(__name__)
 
 
 def make_window_fn(cfg: Config, model):
     """f(params, frames (W,H,Wd,3), text) -> per-window raw outputs."""
+    arch = cfg.model.meta_architecture
 
     def fn(params, frames, text_feats):
         w = frames.shape[0]
         out = model.apply({"params": params}, frames, w, text_feats)
-        return {
-            "logits": out["pred_logits"],      # (1, W, Q, K+1) online
-            "masks": out["pred_masks"],        # (1, Q, W, h, w)
-            "embeds": out.get("pred_embeds"),  # (1, W, Q, C)
+        res = {
+            "logits": out.get("pred_logits"),   # (1, W, Q, C)
+            "masks": out["pred_masks"],         # (1, Q, W, h, w)
+            "embeds": out.get("pred_embeds"),   # (1, W, Q, C)
         }
+        if arch.startswith("OV2Seg"):
+            res["obj_logits"] = out["pred_object_logits"]
+        return res
 
     return fn
 
 
 def make_postprocess_fn(cfg: Config):
-    """f(logits (T,Q,K+1), masks (Q,T,h,w), embeds (T,Q,C), frame_valid (T,))
-    -> topk dict.  T is the padded bucket length."""
+    """f(logits (T,Q,C), masks (Q,T,h,w), embeds (T,Q,C), frame_valid (T,),
+    extras) -> topk dict over the padded time bucket."""
+    arch = cfg.model.meta_architecture
     topk = cfg.model.test.topk_per_video
+    ema = 0.7 if arch.startswith("OV2Seg") else 1.0
 
-    def fn(logits, masks, embeds, frame_valid):
-        indices = track_by_embeds(embeds[None])            # (1, T, Q)
+    def fn(logits, masks, embeds, frame_valid, obj_logits=None):
+        indices = track_by_embeds(embeds[None], ema_alpha=ema)  # (1, T, Q)
         logits = apply_track_indices(logits[None], indices)[0]
         masks_t = apply_track_indices(
             jnp.swapaxes(masks, 0, 1)[None], indices
         )[0]                                               # (T, Q, h, w)
         fv = frame_valid[:, None, None].astype(logits.dtype)
+        if arch.startswith("OV2Seg"):
+            from openvis_tpu.models.meta.ov2seg import (
+                ov2seg_eval_scores,
+                ov2seg_frame_gate,
+            )
+
+            obj = apply_track_indices(obj_logits[None], indices)[0]
+            video, per_frame = ov2seg_eval_scores(logits, obj)
+            out = inference_video_topk(video, jnp.swapaxes(masks_t, 0, 1), topk)
+            pf_sel = jnp.take_along_axis(
+                per_frame[:, out["query_idx"]],
+                out["labels"][None, :, None], axis=-1,
+            )[..., 0]                                      # (T, topk)
+            out["mask_logits"] = ov2seg_frame_gate(
+                out["mask_logits"], out["scores"], pf_sel
+            )
+            return out
         mean_logits = (logits * fv).sum(0) / jnp.maximum(fv.sum(0), 1.0)
-        probs = jax.nn.softmax(mean_logits, axis=-1)[..., :-1]  # (Q, K)
-        return inference_video_topk(
-            probs, jnp.swapaxes(masks_t, 0, 1), topk
+        probs = jax.nn.softmax(mean_logits, axis=-1)
+        if arch.startswith(("SimpleBaseline", "SAN", "MinVIS", "VideoMask",
+                            "BriVIS")):
+            probs = probs[..., :-1]                        # drop bg column
+        return inference_video_topk(probs, jnp.swapaxes(masks_t, 0, 1), topk)
+
+    return fn
+
+
+def make_openvis_score_fn(cfg: Config, clip_visual_apply):
+    """Per-window CLIP crop classification on ALIGNED 1/4-res masks
+    (openvis.py:110-147 after post_processing)."""
+    from openvis_tpu.models.clip_adapter import clip_crop_classify
+
+    def fn(frames_raw, masks_q, text_feats):
+        # frames_raw (W,H,Wd,3) 0-255; masks_q (W,Q,h,w) logits at 1/4
+        return clip_crop_classify(
+            clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
+            text_feats, mask_stride=cfg.model.pixel_decoder.common_stride,
         )
 
     return fn
@@ -85,12 +129,18 @@ def evaluate_dataset(
     dataset_name: str,
     text_feats: np.ndarray,
     max_videos: Optional[int] = None,
+    clip_visual_apply=None,
 ) -> Dict[str, float]:
+    arch = cfg.model.meta_architecture
     info = catalog.get(dataset_name)
     evaluator = YTVISEvaluator(info)
     window = cfg.model.test.window_size
     window_fn = jax.jit(make_window_fn(cfg, model))
     post_fn = jax.jit(make_postprocess_fn(cfg))
+    openvis_score_fn = None
+    if arch.startswith("OpenVIS"):
+        assert clip_visual_apply is not None, "OpenVIS eval needs CLIP visual"
+        openvis_score_fn = jax.jit(make_openvis_score_fn(cfg, clip_visual_apply))
     text = jnp.asarray(text_feats)
 
     n_videos = 0
@@ -100,8 +150,7 @@ def evaluate_dataset(
         n_videos += 1
         frames = sample["pixels"]  # (T, H, W, 3) numpy
         t = frames.shape[0]
-        # fixed-size windows; pad the tail by repeating the last frame
-        logits_parts, masks_parts, embeds_parts = [], [], []
+        parts = {"logits": [], "masks": [], "embeds": [], "obj_logits": []}
         for i in range(0, t, window):
             chunk = frames[i : i + window]
             pad = window - len(chunk)
@@ -109,27 +158,78 @@ def evaluate_dataset(
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
             out = window_fn(params, jnp.asarray(chunk), text)
             keep = window - pad
-            logits_parts.append(np.asarray(out["logits"][0, :keep]))
-            masks_parts.append(np.asarray(out["masks"][0, :, :keep]))
-            embeds_parts.append(np.asarray(out["embeds"][0, :keep]))
-        logits = np.concatenate(logits_parts, axis=0)      # (T, Q, K+1)
-        masks = np.concatenate(masks_parts, axis=1)        # (Q, T, h, w)
-        embeds = np.concatenate(embeds_parts, axis=0)      # (T, Q, C)
+            parts["masks"].append(np.asarray(out["masks"][0, :, :keep]))
+            parts["embeds"].append(np.asarray(out["embeds"][0, :keep]))
+            parts["logits"].append(np.asarray(out["logits"][0, :keep]))
+            if "obj_logits" in out:
+                parts["obj_logits"].append(np.asarray(out["obj_logits"][0, :keep]))
+        logits = np.concatenate(parts["logits"], axis=0)     # (T, Q, C)
+        masks = np.concatenate(parts["masks"], axis=1)       # (Q, T, h, w)
+        embeds = np.concatenate(parts["embeds"], axis=0)     # (T, Q, C)
+        obj = (
+            np.concatenate(parts["obj_logits"], axis=0)
+            if parts["obj_logits"] else None
+        )
 
         tb = _bucket(t)
         fv = np.zeros((tb,), bool)
         fv[:t] = True
-        if tb > t:  # pad time bucket by repeating last frame's artifacts
+        if tb > t:
             logits = np.concatenate([logits, logits[-1:].repeat(tb - t, 0)])
             embeds = np.concatenate([embeds, embeds[-1:].repeat(tb - t, 0)])
-            masks = np.concatenate(
-                [masks, masks[:, -1:].repeat(tb - t, 1)], axis=1
-            )
+            masks = np.concatenate([masks, masks[:, -1:].repeat(tb - t, 1)], axis=1)
+            if obj is not None:
+                obj = np.concatenate([obj, obj[-1:].repeat(tb - t, 0)])
+        kwargs = {}
+        if obj is not None:
+            kwargs["obj_logits"] = jnp.asarray(obj)
         topk_out = post_fn(
             jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(embeds),
-            jnp.asarray(fv),
+            jnp.asarray(fv), **kwargs,
         )
         topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
+
+        if openvis_score_fn is not None:
+            # aligned masks for ALL queries, then CLIP-score per chunk
+            indices = track_by_embeds(jnp.asarray(embeds)[None])
+            aligned = np.asarray(apply_track_indices(
+                jnp.asarray(np.swapaxes(masks, 0, 1))[None], indices
+            )[0])                                           # (Tb, Q, h, w)
+            lgs, vds = [], []
+            raw = sample["pixels"] * np.asarray(cfg.model.pixel_std) + np.asarray(
+                cfg.model.pixel_mean
+            )
+            for i in range(0, t, window):
+                chunk = raw[i : i + window]
+                pad = window - len(chunk)
+                if pad:
+                    chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+                lg, vd = openvis_score_fn(
+                    jnp.asarray(chunk),
+                    jnp.asarray(
+                        np.concatenate([
+                            aligned[i : i + window],
+                            aligned[i + window - 1 : i + window].repeat(pad, 0),
+                        ]) if pad else aligned[i : i + window]
+                    ),
+                    text,
+                )
+                keep = window - pad
+                lgs.append(np.asarray(lg[:keep]))
+                vds.append(np.asarray(vd[:keep]))
+            from openvis_tpu.models.clip_adapter import frame_average_scores
+
+            scores, qvalid = frame_average_scores(
+                jnp.asarray(np.concatenate(lgs)), jnp.asarray(np.concatenate(vds)),
+                mode="logits_then_softmax",
+            )
+            scores = jnp.where(qvalid[:, None], scores, 0.0)
+            topk_out = inference_video_topk(
+                scores, jnp.asarray(aligned[:tb]).swapaxes(0, 1),
+                cfg.model.test.topk_per_video,
+            )
+            topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
+
         # upsample 1/4-res mask logits to the padded input resolution on host
         mk = topk_np["mask_logits"][:, :t]                 # (topk, T, h, w)
         ph, pw = sample["pixels"].shape[1:3]

@@ -94,10 +94,13 @@ def roi_crop(
 def clip_crop_classify(
     visual_apply,          # fn(images (R, S, S, 3) normalized) -> (R, D)
     frames_raw: jax.Array, # (T, H, W, 3) RGB in [0, 255]
-    masks: jax.Array,      # (T, Q, H, W) sigmoid probabilities
+    masks: jax.Array,      # (T, Q, h, w) sigmoid probabilities
     text_feats: jax.Array, # (K, D) normalized (may include bg row)
     input_resolution: int = 224,
     temperature: float = 100.0,
+    mask_stride: int = 1,  # masks may live on a coarser grid (e.g. 1/4):
+                           # boxes scale by stride for the frame crop, so the
+                           # reference's full-res mask upsample is avoided
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (logits (T, Q, K), valid (T, Q)).  Mirrors
     ``ClipAdapter.forward`` + ``_preprocess_image`` (adapter.py:56-116)."""
@@ -109,7 +112,7 @@ def clip_crop_classify(
     # gather each region's source frame
     frame_ids = jnp.repeat(jnp.arange(t), q)
     imgs = frames_raw[frame_ids]                         # (R, H, W, 3)
-    crops = roi_crop(imgs, boxes, input_resolution)      # (R, S, S, 3)
+    crops = roi_crop(imgs, boxes * mask_stride, input_resolution)
     mask_crops = roi_crop(
         flat_masks[..., None], boxes, input_resolution
     )                                                    # (R, S, S, 1)

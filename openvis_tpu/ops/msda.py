@@ -35,7 +35,27 @@ def ms_deform_attn(
     sampling_locations: jax.Array,   # (B, Len_q, n_heads, n_levels, n_points, 2) in [0,1]
     attention_weights: jax.Array,    # (B, Len_q, n_heads, n_levels, n_points), softmaxed
 ) -> jax.Array:                      # (B, Len_q, n_heads * ch)
-    """Multi-scale deformable attention forward (XLA composition)."""
+    """Multi-scale deformable attention.  On TPU the forward runs the
+    Pallas implicit-matmul kernel (ops/msda_pallas.py — gathers serialize on
+    TPU); elsewhere (and for the backward pass) the XLA composition below."""
+    if jax.default_backend() == "tpu":
+        from openvis_tpu.ops.msda_pallas import ms_deform_attn_pallas
+
+        return ms_deform_attn_pallas(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    return ms_deform_attn_xla(
+        value, spatial_shapes, sampling_locations, attention_weights
+    )
+
+
+def ms_deform_attn_xla(
+    value: jax.Array,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,
+    attention_weights: jax.Array,
+) -> jax.Array:
+    """XLA row-gather composition (reference oracle + backward path)."""
     b, len_in, n_heads, ch = value.shape
     n_levels = len(spatial_shapes)
     len_q = sampling_locations.shape[1]

@@ -1,0 +1,195 @@
+"""Pallas TPU kernel for multi-scale deformable attention (forward).
+
+The XLA composition (``openvis_tpu.ops.msda``) expresses each bilinear
+sample as row gathers; TPU gathers of 64-byte rows serialize through the
+scalar core and made the 6-layer deformable encoder ~97% of the whole
+segmenter forward (profiled: 1.46s of 1.47s per 10-frame window).
+
+This kernel reformulates sampling as an IMPLICIT sparse matmul that never
+materializes indices or one-hots:
+
+    out[q, c] = sum_j L[q, j] * V[j, c],
+    L[q, j] = sum_p attn[q, p] * tent(y_qp - Y_j) * tent(x_qp - X_j)
+
+with ``tent(d) = max(0, 1 - |d|)`` — exactly zero-padded
+``grid_sample(align_corners=False)`` bilinear.  The grid walks feature-map
+ROWS: per (batch*head, query-block, row) program the column tents
+``tx[q, p, X]`` are computed once per query-block (hoisted into VMEM
+scratch at row 0), the row tent is a per-(q, p) scalar, and the (BQ, Wp) x
+(Wp, ch) product runs on the MXU with accumulation over rows.  All work is
+dense VPU/MXU — zero gathers.
+
+Backward uses the XLA composition's autodiff (gather/scatter — training
+only); forward inference dispatches here on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(a: int, b: int) -> int:
+    return -(-a // b) * b
+
+
+def _level_kernel(y_ref, x_ref, a_ref, v_ref, out_ref, tx_ref, acc_ref,
+                  *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
+    rb = pl.program_id(2)
+    nrb = pl.num_programs(2)
+
+    @pl.when(rb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        # hoist column tents: tx[q, p, X] = tent(x_qp - X), zero on padding
+        xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+        for pi in range(p):
+            xq = x_ref[0, :, pi][:, None]                 # (BQ, 1)
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
+            tx = jnp.where(xj < w, tx, 0.0)
+            tx_ref[pi] = tx
+
+    # RR feature rows per program: LHS (BQ, RR*WP) @ V (RR*WP, ch) — one
+    # MXU-sized dot; padded rows hold zero values so spill tents are harmless
+    r0 = (rb * rr).astype(jnp.float32)
+    lhs_rows = []
+    for ri in range(rr):
+        rf = r0 + ri
+        lhs = jnp.zeros((bq, wp), jnp.float32)
+        for pi in range(p):
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0, :, pi] - rf))
+            wgt = (a_ref[0, :, pi] * ty)[:, None]         # (BQ, 1)
+            lhs = lhs + wgt * tx_ref[pi]
+        lhs_rows.append(lhs)
+    lhs_all = jnp.concatenate(lhs_rows, axis=1)           # (BQ, RR*WP)
+
+    vblk = v_ref[0].astype(jnp.float32).reshape(rr * wp, -1)
+    acc_ref[:] = acc_ref[:] + jnp.dot(
+        lhs_all, vblk, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    @pl.when(rb == nrb - 1)
+    def _fin():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "interpret"))
+def _sample_level_pallas(value, y, x, attn, h: int, w: int, bq: int = 512,
+                         interpret: bool = False):
+    """value: (BN, H*W, ch); y/x: (BN, Lq, P) pixel coords; attn (BN, Lq, P)
+    -> (BN, Lq, ch) float32 samples (attention-weighted, P-summed)."""
+    bn, hw, ch = value.shape
+    lq, p = y.shape[1], y.shape[2]
+    wp = _round_up(w, 128)
+    lqp = _round_up(lq, bq)
+    rr = 8  # feature rows per program
+    hp = _round_up(h, rr)
+
+    v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+    v_pad = v_pad.at[:, :h, :w].set(value.reshape(bn, h, w, ch))
+
+    def pad_q(a, fill):
+        out = jnp.full((bn, lqp, p), fill, jnp.float32)
+        return out.at[:, :lq].set(a.astype(jnp.float32))
+
+    y_p = pad_q(y, -10.0)  # padding queries sample nothing (tent = 0)
+    x_p = pad_q(x, -10.0)
+    a_p = pad_q(attn, 0.0)
+
+    kern = functools.partial(
+        _level_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr
+    )
+    out = pl.pallas_call(
+        kern,
+        grid=(bn, lqp // bq, hp // rr),
+        in_specs=[
+            pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rr, wp, ch), lambda b, q, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, ch), lambda b, q, r: (b, q, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bn, lqp, ch), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((p, bq, wp), jnp.float32),  # tx per point
+            pltpu.VMEM((bq, ch), jnp.float32),     # row accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(y_p, x_p, a_p, v_pad)
+    return out[:, :lq]
+
+
+def ms_deform_attn_pallas_fwd(
+    value: jax.Array,                # (B, Len_in, nh, ch)
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jax.Array,   # (B, Lq, nh, nl, P, 2) in [0,1]
+    attention_weights: jax.Array,    # (B, Lq, nh, nl, P)
+) -> jax.Array:
+    b, len_in, nh, ch = value.shape
+    lq = sampling_locations.shape[1]
+    p = sampling_locations.shape[-2]
+    bn = b * nh
+
+    value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
+    out = jnp.zeros((bn, lq, ch), jnp.float32)
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, start : start + h * w]
+        start += h * w
+        loc = sampling_locations[:, :, :, lvl]            # (B, Lq, nh, P, 2)
+        attn = attention_weights[:, :, :, lvl]
+        # pixel coords (grid_sample align_corners=False)
+        xpix = loc[..., 0] * w - 0.5
+        ypix = loc[..., 1] * h - 0.5
+
+        def hm(a):  # (B, Lq, nh, P) -> (BN, Lq, P)
+            return jnp.transpose(a, (0, 2, 1, 3)).reshape(bn, lq, p)
+
+        out = out + _sample_level_pallas(v, hm(ypix), hm(xpix), hm(attn), h, w)
+    out = out.reshape(b, nh, lq, ch)
+    return jnp.swapaxes(out, 1, 2).reshape(b, lq, nh * ch).astype(value.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...]):
+    from openvis_tpu.ops import msda as msda_xla
+
+    @jax.custom_vjp
+    def f(value, loc, attn):
+        return ms_deform_attn_pallas_fwd(value, spatial_shapes, loc, attn)
+
+    def fwd(value, loc, attn):
+        return f(value, loc, attn), (value, loc, attn)
+
+    def bwd(res, g):
+        value, loc, attn = res
+        _, vjp = jax.vjp(
+            lambda v, l, a: msda_xla.ms_deform_attn_xla(v, spatial_shapes, l, a),
+            value, loc, attn,
+        )
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
+                          attention_weights):
+    """Drop-in for ``msda.ms_deform_attn``: Pallas forward, XLA-autodiff
+    backward."""
+    f = _make_msda(tuple(tuple(s) for s in spatial_shapes))
+    return f(value, sampling_locations, attention_weights)
