@@ -122,6 +122,42 @@ def _bucket(n: int, step: int = 8) -> int:
     return max(step, -(-n // step) * step)
 
 
+_OFFLINE_ARCHS = (
+    "VideoMaskFormer", "SimpleBaseline", "OpenVIS", "SAN", "BriVIS", "MasQCLIP",
+)
+
+
+def is_single_shot(arch: str) -> bool:
+    """Offline (clip-level) meta-archs evaluate the whole (bucketed) video in
+    one forward — BriVIS's temporal resampler and MasQCLIP's frame-averaged
+    fusion need the full sequence (brivis.py:267-316, masqclip.py:186-199)."""
+    return arch in _OFFLINE_ARCHS
+
+
+def make_single_shot_fn(cfg: Config, model):
+    arch = cfg.model.meta_architecture
+    topk = cfg.model.test.topk_per_video
+
+    def fn(params, frames, text_feats, frame_valid):
+        t = frames.shape[0]
+        out = model.apply({"params": params}, frames, t, text_feats)
+        masks = out["pred_masks"][0]                     # (Q, T, h, w)
+        if arch == "MasQCLIP":
+            from openvis_tpu.models.meta.masqclip import masqclip_eval_scores
+
+            probs = masqclip_eval_scores(out)[0]         # (Q, K)
+        else:
+            logits = out["pred_logits"]
+            if logits.ndim == 4:                         # (B, T, Q, C): frame head
+                fv = frame_valid[None, :, None, None].astype(logits.dtype)
+                logits = (logits * fv).sum(1) / jnp.maximum(fv.sum(1), 1.0)
+            logits = logits[0]                           # (Q, C)
+            probs = jax.nn.softmax(logits, axis=-1)[..., :-1]
+        return inference_video_topk(probs, masks, topk)
+
+    return fn
+
+
 def evaluate_dataset(
     cfg: Config,
     model,
@@ -134,6 +170,12 @@ def evaluate_dataset(
     arch = cfg.model.meta_architecture
     info = catalog.get(dataset_name)
     evaluator = YTVISEvaluator(info)
+
+    if is_single_shot(arch):
+        return _evaluate_single_shot(
+            cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+        )
+
     window = cfg.model.test.window_size
     window_fn = jax.jit(make_window_fn(cfg, model))
     post_fn = jax.jit(make_postprocess_fn(cfg))
@@ -241,6 +283,11 @@ def evaluate_dataset(
             rec["video_id"], topk_np, sample["image_size"], sample["orig_size"]
         )
 
+    return _finalize(cfg, dataset_name, evaluator)
+
+
+def _finalize(cfg: Config, dataset_name: str, evaluator) -> Dict[str, float]:
+    info = catalog.get(dataset_name)
     gt_path = os.path.join(cfg.datasets.root, info.json_file)
     with open(gt_path) as f:
         gt_json = json.load(f)
@@ -249,3 +296,37 @@ def evaluate_dataset(
                        dataset_name)
         return {"num_predictions": float(len(evaluator.predictions))}
     return evaluator.evaluate(gt_json)
+
+
+def _evaluate_single_shot(
+    cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+) -> Dict[str, float]:
+    fn = jax.jit(make_single_shot_fn(cfg, model))
+    text = jnp.asarray(text_feats)
+    n_videos = 0
+    for rec, sample in test_videos(cfg, dataset_name):
+        if max_videos is not None and n_videos >= max_videos:
+            break
+        n_videos += 1
+        frames = sample["pixels"]
+        t = frames.shape[0]
+        tb = min(_bucket(t), cfg.model.test.max_frames)
+        if t > tb:  # extremely long video: truncate to the cap
+            frames = frames[:tb]
+            t = tb
+        if tb > t:
+            frames = np.concatenate([frames, frames[-1:].repeat(tb - t, 0)])
+        fv = np.zeros((tb,), bool)
+        fv[:t] = True
+        topk_out = fn(params, jnp.asarray(frames), text, jnp.asarray(fv))
+        topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
+        mk = topk_np["mask_logits"][:, :t]
+        ph, pw = sample["pixels"].shape[1:3]
+        up = jax.image.resize(
+            jnp.asarray(mk), (mk.shape[0], t, ph, pw), method="bilinear"
+        )
+        topk_np["mask_logits"] = np.asarray(up)
+        evaluator.process(
+            rec["video_id"], topk_np, sample["image_size"], sample["orig_size"]
+        )
+    return _finalize(cfg, dataset_name, evaluator)

@@ -134,3 +134,36 @@ def test_merge_pretrained_partial():
     np.testing.assert_array_equal(out["segmenter"]["a"], np.full(3, 5.0))
     np.testing.assert_array_equal(out["segmenter"]["b"], np.ones(2))
     np.testing.assert_array_equal(out["other"]["c"], np.ones(1))
+
+
+def test_brivis_single_shot_eval(synth_root):
+    import dataclasses
+
+    from tests.test_brivis import brivis_tiny_config
+
+    cfg = brivis_tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            num_classes=K,
+            test=dataclasses.replace(cfg.model.test, max_frames=16),
+        ),
+        input=dataclasses.replace(
+            cfg.input, min_size_test=48, max_size_test=96, pad_size=(64, 96),
+            max_instances=6,
+        ),
+        datasets=dataclasses.replace(
+            cfg.datasets, root=synth_root, test=("synth_eval",)
+        ),
+    )
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 3, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+    metrics = evaluate_dataset(cfg, model, params, "synth_eval", text)
+    assert "AP" in metrics
