@@ -103,6 +103,27 @@ def make_postprocess_fn(cfg: Config):
     return fn
 
 
+def apply_clip_ensemble(
+    scores: jax.Array,       # (Q, K) softmaxed text-matching scores
+    clip_logits: jax.Array,  # (T, Q, K+1) mask-crop CLIP logits (bg row last)
+    valid: jax.Array,        # (T, Q)
+    weight: float,
+) -> jax.Array:
+    """SimpleBSL's open_vocabulary_ensemble (simplebsl.py:122-163):
+    geometric mean ``scores^(1-w) * clip^w`` with softmax-then-frame-mean
+    CLIP probs; queries never valid in any frame keep their scores
+    (map-back ones)."""
+    from openvis_tpu.models.clip_adapter import frame_average_scores
+
+    clip_scores, qvalid = frame_average_scores(
+        clip_logits, valid, mode="softmax_then_mean", drop_last=True
+    )
+    clip_scores = jnp.where(qvalid[:, None], clip_scores, 1.0)
+    if weight <= 0:
+        return jnp.where(qvalid[:, None], clip_scores, scores)
+    return jnp.power(scores, 1.0 - weight) * jnp.power(clip_scores, weight)
+
+
 def make_openvis_score_fn(cfg: Config, clip_visual_apply):
     """Per-window CLIP crop classification on ALIGNED 1/4-res masks
     (openvis.py:110-147 after post_processing)."""

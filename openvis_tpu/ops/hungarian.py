@@ -103,7 +103,11 @@ _batched_hungarian_xla = jax.vmap(hungarian)
 def batched_hungarian(cost: jax.Array) -> jax.Array:
     """(B, N, M) -> (B, N) int32.  On TPU dispatches to the Pallas kernel
     (openvis_tpu/ops/hungarian_pallas.py, ~24x faster: the whole solver runs
-    in one Mosaic program per batch element); elsewhere the XLA composition."""
+    in one Mosaic program per batch element); elsewhere the XLA composition.
+
+    Assignment is inherently non-differentiable; gradients are severed at
+    the input (pallas_call's jvp rule also rejects nonzero tangents)."""
+    cost = jax.lax.stop_gradient(cost)
     if jax.default_backend() == "tpu":
         from openvis_tpu.ops.hungarian_pallas import batched_hungarian_pallas
 

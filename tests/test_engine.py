@@ -167,3 +167,39 @@ def test_brivis_single_shot_eval(synth_root):
     model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
     metrics = evaluate_dataset(cfg, model, params, "synth_eval", text)
     assert "AP" in metrics
+
+
+def test_ov2seg_windowed_eval(synth_root):
+    cfg = _cfg(synth_root)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, meta_architecture="OV2Seg",
+            transformer_decoder=dataclasses.replace(
+                cfg.model.transformer_decoder, name="ov2seg_frame",
+            ),
+        ),
+    )
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 2, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+    metrics = evaluate_dataset(cfg, model, params, "synth_eval", text)
+    assert "AP" in metrics
+
+
+def test_clip_ensemble_combination():
+    from openvis_tpu.engine import apply_clip_ensemble
+
+    scores = jnp.asarray([[0.8, 0.2], [0.5, 0.5]])
+    clip_logits = jnp.zeros((2, 2, 3))  # uniform clip probs
+    valid = jnp.asarray([[True, False], [True, False]])
+    out = np.asarray(apply_clip_ensemble(scores, clip_logits, valid, 0.5))
+    # valid query 0: geometric mean with 0.5 -> sqrt(s * 0.5)
+    np.testing.assert_allclose(out[0, 0], np.sqrt(0.8 * 0.5), rtol=1e-5)
+    # invalid query 1: clip side maps back to ones -> sqrt(s * 1)
+    np.testing.assert_allclose(out[1, 0], np.sqrt(0.5), rtol=1e-5)

@@ -143,11 +143,34 @@ def main():
             logger.info("resumed at step %d", int(state.step))
 
     if args.eval_only:
+        # frozen CLIP visual for mask-crop scoring paths (OpenVIS inference,
+        # SimpleBSL ensemble)
+        clip_visual_apply = None
+        if cfg.model.meta_architecture.startswith(("OpenVIS",)) or (
+            cfg.model.clip_adapter.clip_ensemble
+            and cfg.model.meta_architecture.startswith("SimpleBaseline")
+        ):
+            from openvis_tpu.models.clip.model import (
+                CLIPVisionTransformer,
+                _MODEL_SHAPES,
+            )
+            from tools.convert_weights import load_msgpack
+
+            shape = _MODEL_SHAPES[cfg.model.clip_adapter.clip_model_name]
+            vis = CLIPVisionTransformer(
+                patch_size=shape["vision_patch"], width=shape["vision_width"],
+                layers=shape["vision_layers"], heads=shape["vision_heads"],
+                embed_dim=shape["embed_dim"], image_size=shape["image_size"],
+            )
+            vtree = load_msgpack(cfg.model.clip_adapter.weights)["visual"]
+            clip_visual_apply = lambda imgs: vis.apply({"params": vtree}, imgs)
+
         for ds in cfg.datasets.test:
             names = list(catalog.get(ds).thing_classes)
             tf = bank.encode(names)
             metrics = evaluate_dataset(
-                cfg, model, state.params, ds, tf, args.max_videos
+                cfg, model, state.params, ds, tf, args.max_videos,
+                clip_visual_apply=clip_visual_apply,
             )
             logger.info("%s: %s", ds, json.dumps(metrics))
             with open(os.path.join(out_dir, f"metrics_{ds}.json"), "w") as f:
@@ -173,8 +196,11 @@ def main():
     rng = jax.random.PRNGKey(cfg.seed)
     text_dev = jax.device_put(jnp.asarray(text_feats), repl)
 
+    from openvis_tpu.utils.profiling import StepTimer
+
     start = int(state.step)
     t0 = time.time()
+    timer = StepTimer(os.path.join(out_dir, "metrics.jsonl"))
     for it in range(start, cfg.solver.max_iter):
         batch = next(loader)
         batch["text_feats"] = text_dev
@@ -191,6 +217,7 @@ def main():
         state, metrics = fn(state, batch, rng)
         if (it + 1) % 20 == 0:
             m = {k_: float(v) for k_, v in metrics.items()}
+            timer.tick(it + 1, m)
             rate = (it + 1 - start) / (time.time() - t0)
             logger.info("iter %d: %s (%.2f it/s)", it + 1, json.dumps(m), rate)
         if (it + 1) % cfg.solver.checkpoint_period == 0 or (
