@@ -19,8 +19,10 @@ scratch at row 0), the row tent is a per-(q, p) scalar, and the (BQ, Wp) x
 (Wp, ch) product runs on the MXU with accumulation over rows.  All work is
 dense VPU/MXU — zero gathers.
 
-Backward uses the XLA composition's autodiff (gather/scatter — training
-only); forward inference dispatches here on TPU.
+Backward runs the same implicit-matmul structure in two kernels: dValue as
+L^T @ g accumulated over query blocks, and (dAttn, dLoc) via the per-block
+score matrix S = g @ V^T with tent-derivative reductions — verified exact
+against the XLA composition's autodiff.
 """
 
 from __future__ import annotations
@@ -133,6 +135,189 @@ def _sample_level_pallas(value, y, x, attn, h: int, w: int, bq: int = 512,
     return out[:, :lq]
 
 
+def _dvalue_kernel(y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
+                   *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
+    """dV[j, c] = sum_q L[q, j] g[q, c] — grid (bn, row-block, q-block),
+    accumulation over q-blocks (innermost)."""
+    qb = pl.program_id(2)
+    nqb = pl.num_programs(2)
+    rb = pl.program_id(1)
+
+    @pl.when(qb == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+    r0 = (rb * rr).astype(jnp.float32)
+    lhs_rows = []
+    for ri in range(rr):
+        rf = r0 + ri
+        lhs = jnp.zeros((bq, wp), jnp.float32)
+        for pi in range(p):
+            xq = x_ref[0, :, pi][:, None]
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
+            tx = jnp.where(xj < w, tx, 0.0)
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0, :, pi] - rf))
+            lhs = lhs + (a_ref[0, :, pi] * ty)[:, None] * tx
+        lhs_rows.append(lhs)
+    lhs_all = jnp.concatenate(lhs_rows, axis=1)           # (BQ, RR*WP)
+
+    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
+    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+        lhs_all, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                     # (RR*WP, ch)
+
+    @pl.when(qb == nqb - 1)
+    def _fin():
+        dv_ref[0] = acc_ref[:].reshape(dv_ref.shape[1:]).astype(dv_ref.dtype)
+
+
+def _dcoord_kernel(y_ref, x_ref, a_ref, g_ref, v_ref,
+                   da_ref, dy_ref, dx_ref, s_da, s_dy, s_dx,
+                   *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
+    """da/dy/dx via S[q, j] = V[j]·g[q] — grid (bn, q-block, row-block)."""
+    rb = pl.program_id(2)
+    nrb = pl.num_programs(2)
+
+    @pl.when(rb == 0)
+    def _init():
+        s_da[:] = jnp.zeros_like(s_da)
+        s_dy[:] = jnp.zeros_like(s_dy)
+        s_dx[:] = jnp.zeros_like(s_dx)
+
+    vblk = v_ref[0].astype(jnp.float32).reshape(rr * wp, -1)
+    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
+    s = jax.lax.dot_general(
+        g, vblk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(bq, rr, wp)                                 # (BQ, RR, WP)
+
+    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+    r0 = (rb * rr).astype(jnp.float32)
+    for pi in range(p):
+        xq = x_ref[0, :, pi][:, None]
+        dxx = xq - xj
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(dxx))
+        inx = jnp.logical_and(jnp.abs(dxx) < 1.0, xj < w)
+        tx = jnp.where(xj < w, tx, 0.0)
+        txp = jnp.where(inx, -jnp.sign(dxx), 0.0)         # d tent / d x
+        aq = a_ref[0, :, pi]
+        da_acc = jnp.zeros((bq,), jnp.float32)
+        dy_acc = jnp.zeros((bq,), jnp.float32)
+        dx_acc = jnp.zeros((bq,), jnp.float32)
+        for ri in range(rr):
+            rf = r0 + ri
+            dyy = y_ref[0, :, pi] - rf
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+            typ = jnp.where(jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0)
+            sr = s[:, ri]                                 # (BQ, WP)
+            u = jnp.sum(tx * sr, axis=1)                  # (BQ,)
+            v2 = jnp.sum(txp * sr, axis=1)
+            da_acc = da_acc + ty * u
+            dy_acc = dy_acc + typ * u
+            dx_acc = dx_acc + ty * v2
+        # scratch is (P, BQ): full-row updates (column writes are awkward
+        # for Mosaic layouts)
+        s_da[pi] = s_da[pi] + da_acc
+        s_dy[pi] = s_dy[pi] + aq * dy_acc
+        s_dx[pi] = s_dx[pi] + aq * dx_acc
+
+    @pl.when(rb == nrb - 1)
+    def _fin():
+        da_ref[0] = s_da[:].astype(da_ref.dtype)
+        dy_ref[0] = s_dy[:].astype(dy_ref.dtype)
+        dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "interpret"))
+def _sample_level_pallas_bwd(value, y, x, attn, g, h: int, w: int,
+                             bq: int = 512, interpret: bool = False):
+    """Backward of ``_sample_level_pallas``: returns (dvalue (BN, H*W, ch),
+    dy, dx, dattn each (BN, Lq, P)) given g (BN, Lq, ch) float32."""
+    bn, hw, ch = value.shape
+    lq, p = y.shape[1], y.shape[2]
+    wp = _round_up(w, 128)
+    lqp = _round_up(lq, bq)
+    rr = 8
+    hp = _round_up(h, rr)
+
+    v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+    v_pad = v_pad.at[:, :h, :w].set(value.reshape(bn, h, w, ch))
+
+    def pad_q(a, fill):
+        out = jnp.full((bn, lqp, p), fill, jnp.float32)
+        return out.at[:, :lq].set(a.astype(jnp.float32))
+
+    y_p = pad_q(y, -10.0)
+    x_p = pad_q(x, -10.0)
+    a_p = pad_q(attn, 0.0)
+    g_p = jnp.zeros((bn, lqp, ch), jnp.float32)
+    g_p = g_p.at[:, :lq].set(g.astype(jnp.float32))
+
+    coord_specs = [
+        pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(3)
+    ]
+
+    dv = pl.pallas_call(
+        functools.partial(_dvalue_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr),
+        grid=(bn, hp // rr, lqp // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, p), lambda b, r, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, p), lambda b, r, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, p), lambda b, r, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, ch), lambda b, r, q: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rr, wp, ch), lambda b, r, q: (b, r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bn, hp, wp, ch), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rr * wp, ch), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(y_p, x_p, a_p, g_p)
+    dvalue = dv[:, :h, :w].reshape(bn, hw, ch)
+
+    da, dy, dx = pl.pallas_call(
+        functools.partial(_dcoord_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr),
+        grid=(bn, lqp // bq, hp // rr),
+        in_specs=coord_specs + [
+            pl.BlockSpec((1, bq, ch), lambda b, q, r: (b, q, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rr, wp, ch), lambda b, q, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, bq), lambda b, q, r: (b, 0, q),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, p, lqp), jnp.float32)
+            for _ in range(3)
+        ],
+        scratch_shapes=[pltpu.VMEM((p, bq), jnp.float32) for _ in range(3)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(y_p, x_p, a_p, g_p, v_pad)
+    # outputs are (BN, P, LQP): transpose back
+    da = jnp.swapaxes(da, 1, 2)[:, :lq]
+    dy = jnp.swapaxes(dy, 1, 2)[:, :lq]
+    dx = jnp.swapaxes(dx, 1, 2)[:, :lq]
+    return dvalue, dy, dx, da
+
+
 def ms_deform_attn_pallas_fwd(
     value: jax.Array,                # (B, Len_in, nh, ch)
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -164,10 +349,55 @@ def ms_deform_attn_pallas_fwd(
     return jnp.swapaxes(out, 1, 2).reshape(b, lq, nh * ch).astype(value.dtype)
 
 
+def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g):
+    """Pallas backward: returns (dvalue, dloc, dattn) in the primal shapes."""
+    b, len_in, nh, ch = value.shape
+    lq = loc.shape[1]
+    p = loc.shape[-2]
+    bn = b * nh
+    value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
+    # g: (B, Lq, nh*ch) -> (BN, Lq, ch)
+    g_t = jnp.swapaxes(
+        g.reshape(b, lq, nh, ch), 1, 2
+    ).reshape(bn, lq, ch)
+
+    def hm(a):
+        return jnp.transpose(a, (0, 2, 1, 3)).reshape(bn, lq, p)
+
+    def hm_inv(a):  # (BN, Lq, P) -> (B, Lq, nh, P)
+        return jnp.transpose(a.reshape(b, nh, lq, p), (0, 2, 1, 3))
+
+    dvalue_t = jnp.zeros_like(value_t, dtype=jnp.float32)
+    dloc_parts = []
+    dattn_parts = []
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        v = value_t[:, start : start + h * w]
+        l_lvl = loc[:, :, :, lvl]
+        a_lvl = attn[:, :, :, lvl]
+        xpix = l_lvl[..., 0] * w - 0.5
+        ypix = l_lvl[..., 1] * h - 0.5
+        dv, dy, dx, da = _sample_level_pallas_bwd(
+            v, hm(ypix), hm(xpix), hm(a_lvl), g_t, h, w
+        )
+        dvalue_t = dvalue_t.at[:, start : start + h * w].add(dv)
+        # chain: pixel = loc * size - 0.5
+        dloc_parts.append(jnp.stack(
+            [hm_inv(dx) * w, hm_inv(dy) * h], axis=-1
+        ))  # (B, Lq, nh, P, 2)
+        dattn_parts.append(hm_inv(da))
+        start += h * w
+
+    dvalue = jnp.swapaxes(
+        dvalue_t.reshape(b, nh, len_in, ch), 1, 2
+    ).astype(value.dtype)
+    dloc = jnp.stack(dloc_parts, axis=3).astype(loc.dtype)
+    dattn = jnp.stack(dattn_parts, axis=3).astype(attn.dtype)
+    return dvalue, dloc, dattn
+
+
 @functools.lru_cache(maxsize=None)
 def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...]):
-    from openvis_tpu.ops import msda as msda_xla
-
     @jax.custom_vjp
     def f(value, loc, attn):
         return ms_deform_attn_pallas_fwd(value, spatial_shapes, loc, attn)
@@ -177,11 +407,7 @@ def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...]):
 
     def bwd(res, g):
         value, loc, attn = res
-        _, vjp = jax.vjp(
-            lambda v, l, a: msda_xla.ms_deform_attn_xla(v, spatial_shapes, l, a),
-            value, loc, attn,
-        )
-        return vjp(g)
+        return ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g)
 
     f.defvjp(fwd, bwd)
     return f

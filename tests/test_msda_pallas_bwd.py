@@ -1,0 +1,40 @@
+"""Pallas MSDeformAttn backward kernels vs the XLA composition's autodiff
+(interpret mode)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import openvis_tpu.ops.msda_pallas as MP
+from openvis_tpu.ops.msda import ms_deform_attn_xla
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(
+        MP, "_sample_level_pallas_bwd",
+        functools.partial(MP._sample_level_pallas_bwd.__wrapped__, interpret=True),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_backward_matches_xla_vjp(seed):
+    rng = np.random.RandomState(seed)
+    shapes = ((6, 9), (3, 5))
+    L = sum(h * w for h, w in shapes)
+    B, NH, CH, P, LQ = 2, 2, 32, 4, 13
+    value = jnp.asarray(rng.randn(B, L, NH, CH).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, LQ, NH, 2, P, 2) * 1.2 - 0.1).astype(np.float32))
+    attn = jnp.asarray(rng.rand(B, LQ, NH, 2, P).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, LQ, NH * CH).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn_xla(v, shapes, l, a),
+                     value, loc, attn)
+    dv_ref, dl_ref, da_ref = vjp(g)
+    dv, dl, da = MP.ms_deform_attn_pallas_bwd(value, shapes, loc, attn, g)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref), rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), rtol=1e-4, atol=1e-5)
