@@ -35,7 +35,11 @@ import jax
 import jax.numpy as jnp
 
 from openvis_tpu.ops.hungarian import batched_hungarian
-from openvis_tpu.ops.point_sample import point_sample, uncertain_point_coords
+from openvis_tpu.ops.point_sample import (
+    point_sample,
+    point_sample_shared,
+    uncertain_point_coords,
+)
 from openvis_tpu.structures import ClipTargets
 
 
@@ -69,13 +73,14 @@ def match_costs(
     n = targets.labels.shape[1]
     p = s.num_points
 
-    # shared random points per batch item (matcher.py:110)
-    coords = jax.random.uniform(rng, (b, 1, p, 2), dtype=jnp.float32)
+    # shared random points per batch item (matcher.py:110): row-independent
+    # indices -> the fast transposed row-gather sampler
+    coords = jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
 
     pm = pred_masks.astype(jnp.float32).reshape(b, q * t, h, w)
     tm = targets.masks.astype(jnp.float32).reshape(b, n * t, *targets.masks.shape[-2:])
-    out_pts = point_sample(pm, jnp.broadcast_to(coords, (b, q * t, p, 2)))
-    tgt_pts = point_sample(tm, jnp.broadcast_to(coords, (b, n * t, p, 2)))
+    out_pts = jax.vmap(point_sample_shared)(pm, coords)
+    tgt_pts = jax.vmap(point_sample_shared)(tm, coords)
     out_pts = out_pts.reshape(b, q, t * p)
     tgt_pts = tgt_pts.reshape(b, n, t * p)
 
@@ -144,22 +149,53 @@ def _loss_masks(
     num_masks: jax.Array,
     s: CriterionSettings,
 ) -> Tuple[jax.Array, jax.Array]:
+    """Point-sampled mask losses with uncertainty importance sampling
+    (criterion.py:156-181).
+
+    TPU delta: the 3x-oversampled candidate pool is SHARED across the rows
+    of a batch item (the per-row top-k uncertainty selection stays per-row,
+    and selected logits reuse the candidate values — point_sample at the
+    same coordinates returns the same value).  Shared candidates make every
+    gather row-structured; the reference draws per-row candidates, a
+    statistically equivalent but ~10x slower access pattern on TPU.
+    """
     b, q, t, h, w = pred_masks.shape
     n = targets.labels.shape[1]
     src = jnp.take_along_axis(
         pred_masks, assignment[:, :, None, None, None], axis=1
     )  # (B, N, T, H, W)
-    rows = src.reshape(b * n * t, h, w).astype(jnp.float32)
+    rows = src.reshape(b, n * t, h, w).astype(jnp.float32)
     th, tw = targets.masks.shape[-2:]
-    tgt_rows = targets.masks.reshape(b * n * t, th, tw).astype(jnp.float32)
+    tgt_rows = targets.masks.reshape(b, n * t, th, tw).astype(jnp.float32)
     row_w = jnp.broadcast_to(targets.valid[:, :, None], (b, n, t)).reshape(-1)
     row_w = row_w.astype(jnp.float32)
 
-    coords = uncertain_point_coords(
-        rng, rows, s.num_points, s.oversample_ratio, s.importance_sample_ratio
+    n_sampled = int(s.num_points * s.oversample_ratio)
+    n_uncertain = int(s.importance_sample_ratio * s.num_points)
+    n_random = s.num_points - n_uncertain
+    k1, k2 = jax.random.split(rng)
+    cand = jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
+    cand_logits = jax.vmap(point_sample_shared)(rows, cand)      # (B, NT, S)
+    cand_labels = jax.lax.stop_gradient(
+        jax.vmap(point_sample_shared)(tgt_rows, cand)
     )
-    point_logits = point_sample(rows, coords)                       # (R, P)
-    point_labels = jax.lax.stop_gradient(point_sample(tgt_rows, coords))
+    # per-row top-k most uncertain candidates (uncertainty = -|logit|)
+    _, idx = jax.lax.top_k(
+        jax.lax.stop_gradient(-jnp.abs(cand_logits)), n_uncertain
+    )
+    point_logits = jnp.take_along_axis(cand_logits, idx, axis=-1)
+    point_labels = jnp.take_along_axis(cand_labels, idx, axis=-1)
+    if n_random > 0:
+        rnd = jax.random.uniform(k2, (b, n_random, 2), dtype=jnp.float32)
+        point_logits = jnp.concatenate(
+            [point_logits, jax.vmap(point_sample_shared)(rows, rnd)], axis=-1
+        )
+        point_labels = jnp.concatenate(
+            [point_labels, jax.lax.stop_gradient(
+                jax.vmap(point_sample_shared)(tgt_rows, rnd))], axis=-1
+        )
+    point_logits = point_logits.reshape(b * n * t, -1)
+    point_labels = point_labels.reshape(b * n * t, -1)
 
     # sigmoid CE (criterion.py:51-69)
     ce = _softplus(point_logits) - point_logits * point_labels
