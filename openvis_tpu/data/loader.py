@@ -23,6 +23,7 @@ from openvis_tpu.data import catalog
 from openvis_tpu.data.mapper import (
     CocoClipMapper,
     YTVISClipMapper,
+    load_burst_records,
     load_coco_records,
     load_ytvis_records,
 )
@@ -62,6 +63,9 @@ class TrainLoader:
             if info.kind == "coco_clip":
                 records = load_coco_records(info, root)
                 mapper = CocoClipMapper(info, inp, mean, std)
+            elif info.kind == "burst":
+                records = load_burst_records(info, root)
+                mapper = YTVISClipMapper(info, inp, mean, std, is_train=True)
             else:
                 records = load_ytvis_records(info, root, is_train=True)
                 mapper = YTVISClipMapper(info, inp, mean, std, is_train=True)
@@ -109,7 +113,10 @@ def test_videos(cfg: Config, dataset_name: str):
     Test batch size is 1 video (build.py:207-241)."""
     info = catalog.get(dataset_name)
     root = cfg.datasets.root
-    records = load_ytvis_records(info, root, is_train=False)
+    if info.kind == "burst":
+        records = load_burst_records(info, root)
+    else:
+        records = load_ytvis_records(info, root, is_train=False)
     mapper = YTVISClipMapper(
         info, cfg.input, cfg.model.pixel_mean, cfg.model.pixel_std, is_train=False
     )

@@ -58,6 +58,48 @@ def load_ytvis_records(info: DatasetInfo, root: str, is_train: bool) -> List[Dic
     return records
 
 
+def load_burst_records(info: DatasetInfo, root: str) -> List[Dict]:
+    """Parse a BURST (TAO) json into YTVIS-style per-video records
+    (``load_burst_json``, burst.py:538-583): sequences carry per-frame
+    {track_id: {rle}} dicts which we pivot into track-major annotations so
+    the standard clip mapper applies unchanged."""
+    path = os.path.join(root, info.json_file)
+    with open(path) as f:
+        data = json.load(f)
+    records = []
+    for seq_id, seq in enumerate(data["sequences"]):
+        h, w = seq["height"], seq["width"]
+        t = len(seq["annotated_image_paths"])
+        track_cats = seq["track_category_ids"]
+        tracks: Dict[str, Dict] = {}
+        for fi, segm in enumerate(seq["segmentations"][:t]):
+            for tid, anno in segm.items():
+                tr = tracks.setdefault(tid, {
+                    "id": int(tid),
+                    "video_id": seq.get("id", seq_id + 1),
+                    "category_id": track_cats[tid],
+                    "segmentations": [None] * t,
+                    "bboxes": [None] * t,
+                    "iscrowd": 0,
+                })
+                tr["segmentations"][fi] = {
+                    "size": [h, w], "counts": anno["rle"]
+                }
+        records.append({
+            "file_names": [
+                os.path.join(root, info.image_root, seq["dataset"],
+                             seq["seq_name"], x)
+                for x in seq["annotated_image_paths"]
+            ],
+            "height": h,
+            "width": w,
+            "length": t,
+            "video_id": seq.get("id", seq_id + 1),
+            "annotations": list(tracks.values()),
+        })
+    return records
+
+
 def load_coco_records(info: DatasetInfo, root: str) -> List[Dict]:
     """Parse a COCO-format json into per-image records for pseudo-clips."""
     path = os.path.join(root, info.json_file)
@@ -168,6 +210,9 @@ class YTVISClipMapper:
             flip=is_train and inp.random_flip != "none",
             rotation="rotation" in inp.augmentations,
             is_train=is_train,
+            crop=is_train and inp.crop_enabled,
+            crop_type=inp.crop_type,
+            crop_size=inp.crop_size,
         )
 
     def __call__(self, rng: np.random.RandomState, record: Dict) -> Dict:

@@ -78,6 +78,9 @@ class ClipAugmenter:
         rotation: bool = False,
         rotation_range: Tuple[float, float] = (-15.0, 15.0),
         is_train: bool = True,
+        crop: bool = False,
+        crop_type: str = "absolute_range",
+        crop_size: Tuple[int, int] = (600, 720),
     ):
         self.min_sizes = list(min_sizes)
         self.max_size = max_size
@@ -85,6 +88,25 @@ class ClipAugmenter:
         self.rotation = rotation
         self.rotation_range = rotation_range
         self.is_train = is_train
+        self.crop = crop
+        self.crop_type = crop_type
+        self.crop_size = tuple(crop_size)
+
+    def _crop_box(self, rng, h: int, w: int) -> Tuple[int, int, int, int]:
+        """Clip-consistent crop box (RandomCropClip, augmentation.py:214-227;
+        d2 absolute_range semantics: crop H in [size0, size1] capped at h)."""
+        c0, c1 = self.crop_size
+        if self.crop_type == "absolute_range":
+            ch = min(h, rng.randint(min(c0, h), min(c1, h) + 1))
+            cw = min(w, rng.randint(min(c0, w), min(c1, w) + 1))
+        elif self.crop_type == "absolute":
+            ch, cw = min(c0, h), min(c1, w)
+        else:  # relative / relative_range
+            ch = int(h * (c0 + (1 - c0) * rng.rand())) if self.crop_type == "relative_range" else int(h * c0)
+            cw = int(w * (c1 + (1 - c1) * rng.rand())) if self.crop_type == "relative_range" else int(w * c1)
+        y0 = rng.randint(0, h - ch + 1)
+        x0 = rng.randint(0, w - cw + 1)
+        return y0, x0, ch, cw
 
     def __call__(
         self,
@@ -108,6 +130,13 @@ class ClipAugmenter:
             base_angle = 0.0
             cx = cy = 0.5
 
+        # clip-consistent crop, sampled once in RESIZED coordinates
+        rsize = size
+        crop_box = None
+        if self.crop and self.is_train:
+            crop_box = self._crop_box(rng, rsize[0], rsize[1])
+            size = (crop_box[2], crop_box[3])
+
         out_frames, out_masks = [], []
         for fi, frame in enumerate(frames):
             angle = base_angle
@@ -116,7 +145,10 @@ class ClipAugmenter:
             f = frame
             if angle != 0.0:
                 f = rotate_frame(f, angle, (cx, cy))
-            f = resize_frame(f, size)
+            f = resize_frame(f, rsize)
+            if crop_box is not None:
+                y0, x0, ch, cw = crop_box
+                f = f[y0 : y0 + ch, x0 : x0 + cw]
             if do_flip:
                 f = hflip_frame(f)
             out_frames.append(f)
@@ -126,7 +158,10 @@ class ClipAugmenter:
                     mm = m
                     if angle != 0.0:
                         mm = rotate_frame(mm, angle, (cx, cy), Image.NEAREST)
-                    mm = resize_mask(mm, size)
+                    mm = resize_mask(mm, rsize)
+                    if crop_box is not None:
+                        y0, x0, ch, cw = crop_box
+                        mm = mm[y0 : y0 + ch, x0 : x0 + cw]
                     if do_flip:
                         mm = mm[:, ::-1]
                     ms.append(mm)

@@ -124,6 +124,68 @@ def match(
     return jax.lax.stop_gradient(batched_hungarian(cost))
 
 
+def tracking_match(
+    rng: jax.Array,
+    pred_logits: Optional[jax.Array],  # (B, T, Q, C+1) per-frame logits
+    pred_masks: jax.Array,             # (B, Q, T, H, W)
+    targets: ClipTargets,
+    s: CriterionSettings,
+) -> jax.Array:
+    """``VideoHungarianTrackingMatcher`` (matcher.py:174-276): each target is
+    matched by Hungarian assignment in its FIRST-appearance frame only, with
+    queries already claimed by earlier frames excluded (cost 1e6); the
+    assignment then locks across all frames.  Returns (B, N) query per slot.
+
+    Fixed-shape formulation: per-frame costs are computed for every frame in
+    one batched pass, then a ``lax.scan`` over T commits the rows whose
+    first-appearance frame is the current one.
+    """
+    b, q, t, h, w = pred_masks.shape
+    n = targets.labels.shape[1]
+
+    # first appearance frame per slot (frame_valid (B, N, T))
+    fv = targets.frame_valid
+    first = jnp.argmax(fv, axis=-1).astype(jnp.int32)            # (B, N)
+
+    # per-frame costs: fold T into batch and reuse the clip matcher on
+    # single-frame masks/targets
+    pm = jnp.swapaxes(pred_masks, 1, 2).reshape(b * t, q, 1, h, w)
+    th, tw = targets.masks.shape[-2:]
+    tm = jnp.swapaxes(targets.masks, 1, 2).reshape(b * t, n, 1, th, tw)
+    tgt_bt = ClipTargets(
+        labels=jnp.broadcast_to(targets.labels[:, None], (b, t, n)).reshape(b * t, n),
+        masks=tm,
+        valid=jnp.broadcast_to(targets.valid[:, None], (b, t, n)).reshape(b * t, n),
+        frame_valid=jnp.ones((b * t, n, 1), bool),
+    )
+    logits_bt = (
+        pred_logits.reshape(b * t, q, -1) if pred_logits is not None else None
+    )
+    cost_bt = match_costs(rng, logits_bt, pm, tgt_bt, s)          # (B*T, N, Q)
+    cost_ft = cost_bt.reshape(b, t, n, q).transpose(1, 0, 2, 3)   # (T, B, N, Q)
+
+    def step(carry, xs):
+        assignment, used = carry              # (B, N) int32, (B, Q) f32
+        f, cost_f = xs                        # scalar, (B, N, Q)
+        commit = jnp.logical_and(targets.valid, first == f)       # (B, N)
+        cost_f = cost_f + used[:, None, :] * 1e6
+        # non-committing rows -> constant (don't perturb the optimum)
+        cost_f = jnp.where(commit[:, :, None], cost_f, 0.0)
+        cols = batched_hungarian(cost_f)                          # (B, N)
+        assignment = jnp.where(commit, cols, assignment)
+        hit = jax.nn.one_hot(
+            jnp.where(commit, cols, q), q + 1, dtype=used.dtype
+        )[..., :q].sum(axis=1)
+        used = jnp.minimum(used + hit, 1.0)
+        return (assignment, used), None
+
+    init = (jnp.zeros((b, n), jnp.int32), jnp.zeros((b, q), jnp.float32))
+    (assignment, _), _ = jax.lax.scan(
+        step, init, (jnp.arange(t), cost_ft)
+    )
+    return jax.lax.stop_gradient(assignment)
+
+
 def _loss_labels(
     pred_logits: jax.Array,    # (B, Q, C+1)
     assignment: jax.Array,     # (B, N)

@@ -138,3 +138,37 @@ def test_grads_flow():
     assert np.isfinite(np.asarray(gl)).all()
     assert float(jnp.abs(gm).sum()) > 0
     assert float(jnp.abs(gl).sum()) > 0
+
+
+def test_tracking_match_first_appearance_lock():
+    from openvis_tpu.losses.criterion import tracking_match
+
+    b, n, t, h, w, q, c = 1, 4, 3, 32, 48, 6, 5
+    rng = np.random.RandomState(0)
+    masks = np.zeros((b, n, t, h, w), np.float32)
+    # slot 0 appears frame 0 (box A); slot 1 appears frame 1 (box B)
+    masks[0, 0, :, 2:12, 2:12] = 1.0
+    masks[0, 1, 1:, 18:30, 20:40] = 1.0
+    fv = np.zeros((b, n, t), bool)
+    fv[0, 0, :] = True
+    fv[0, 1, 1:] = True
+    valid = np.zeros((b, n), bool)
+    valid[0, :2] = True
+    tg = ClipTargets(
+        labels=jnp.asarray(rng.randint(0, c, (b, n)).astype(np.int32)),
+        masks=jnp.asarray(masks), valid=jnp.asarray(valid),
+        frame_valid=jnp.asarray(fv),
+    )
+    # query 3 reproduces slot 0; query 3 ALSO best for slot 1, query 5 second
+    pm = np.full((b, q, t, h, w), -10.0, np.float32)
+    pm[0, 3] = np.where(masks[0, 0] > 0.5, 10.0, -10.0)
+    pm[0, 3, 1:, 18:30, 20:40] = 10.0  # query 3 also covers slot 1's box
+    pm[0, 5] = np.where(masks[0, 1] > 0.5, 8.0, -8.0)
+    pl = np.zeros((b, t, q, c + 1), np.float32)
+
+    s = CriterionSettings(num_classes=c, num_points=512, class_weight=0.0)
+    a = np.asarray(tracking_match(
+        jax.random.PRNGKey(0), jnp.asarray(pl), jnp.asarray(pm), tg, s
+    ))
+    assert a[0, 0] == 3            # slot 0 claims query 3 in frame 0
+    assert a[0, 1] == 5            # slot 1 must take query 5 (3 is used)

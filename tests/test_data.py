@@ -150,3 +150,57 @@ def test_eval_mapper_all_frames(synthetic_ytvis):
     )
     s = mapper(np.random.RandomState(0), records[0])
     assert s["pixels"].shape[0] == 4  # all frames at eval
+
+
+def test_crop_augmentation(synthetic_ytvis):
+    import dataclasses
+
+    root, info = synthetic_ytvis
+    cfg = Config()
+    inp = dataclasses.replace(
+        cfg.input, min_size_train=(48,), max_size_train=96,
+        pad_size=(64, 96), max_instances=6,
+        crop_enabled=True, crop_type="absolute_range", crop_size=(24, 40),
+    )
+    records = load_ytvis_records(info, root, is_train=True)
+    mapper = YTVISClipMapper(
+        info, inp, cfg.model.pixel_mean, cfg.model.pixel_std, is_train=True
+    )
+    rng = np.random.RandomState(2)
+    s = mapper(rng, records[0])
+    h, w = s["image_size"]
+    assert 24 <= h <= 48 and 24 <= w <= 64  # cropped within range
+    assert s["pixels"].shape[1] % 32 == 0
+
+
+def test_burst_loader(tmp_path):
+    from openvis_tpu.data.mapper import load_burst_records
+
+    h, w = 32, 40
+    m = np.zeros((h, w), np.uint8)
+    m[5:15, 5:20] = 1
+    r = rle.encode(m)
+    js = {
+        "sequences": [{
+            "id": 7, "dataset": "YFCC100M", "seq_name": "v1",
+            "height": h, "width": w,
+            "annotated_image_paths": ["a.jpg", "b.jpg"],
+            "track_category_ids": {"1": 5},
+            "segmentations": [{"1": {"rle": r["counts"]}}, {}],
+        }],
+    }
+    with open(tmp_path / "burst.json", "w") as f:
+        json.dump(js, f)
+    info = catalog.DatasetInfo(
+        name="synth_burst", image_root="frames", json_file="burst.json",
+        thing_classes=("x",) * 5, id_map={5: 4}, kind="burst",
+    )
+    recs = load_burst_records(info, str(tmp_path))
+    assert len(recs) == 1
+    rec = recs[0]
+    assert rec["length"] == 2 and rec["video_id"] == 7
+    assert len(rec["annotations"]) == 1
+    segs = rec["annotations"][0]["segmentations"]
+    assert segs[1] is None
+    np.testing.assert_array_equal(rle.decode(segs[0]), m)
+    assert rec["annotations"][0]["category_id"] == 5
