@@ -151,6 +151,39 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
     return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
 
 
+class BasePixelDecoder(nn.Module):
+    """FPN-only pixel decoder (reference ``BasePixelDecoder``,
+    ``modeling/pixel_decoder/fpn.py`` path selected by
+    ``PIXEL_DECODER_NAME: BasePixelDecoder`` — no deformable encoder):
+    top-down 1x1 lateral + 3x3 output convs from res5 down to res2, with the
+    3 deepest maps returned as multi-scale features."""
+
+    conv_dim: int = 256
+    mask_dim: int = 256
+
+    @nn.compact
+    def __call__(self, features, extra_features=None):
+        names = ["res5", "res4", "res3", "res2"]
+        outs = []
+        y = None
+        for idx, f in enumerate(names):
+            x = features[f]
+            lat = nn.Conv(self.conv_dim, (1, 1), use_bias=False,
+                          name=f"adapter{idx}_conv")(x)
+            lat = nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm")(lat)
+            if y is None:
+                y = lat
+            else:
+                y = lat + resize_bilinear(y, (x.shape[1], x.shape[2]))
+            z = nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=False,
+                        name=f"layer{idx}_conv")(y)
+            z = nn.GroupNorm(num_groups=32, name=f"layer{idx}_norm")(z)
+            y = nn.relu(z)
+            outs.append(y)
+        mask_features = nn.Conv(self.mask_dim, (1, 1), name="mask_features")(outs[-1])
+        return mask_features, outs[0], outs[:3]
+
+
 class MSDeformAttnPixelDecoder(nn.Module):
     """Returns (mask_features, transformer_encoder_feature, multi_scale_features).
 

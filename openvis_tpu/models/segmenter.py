@@ -21,7 +21,10 @@ from flax import linen as nn
 
 from openvis_tpu.config import ModelConfig
 from openvis_tpu.models.backbone.resnet import ResNet
-from openvis_tpu.models.pixel_decoder import MSDeformAttnPixelDecoder
+from openvis_tpu.models.pixel_decoder import (
+    BasePixelDecoder,
+    MSDeformAttnPixelDecoder,
+)
 from openvis_tpu.models.transformer_decoder import MaskedTransformerDecoder
 
 
@@ -82,17 +85,23 @@ class Segmenter(nn.Module):
         feats = build_backbone(cfg)(frames)
 
         pd = cfg.pixel_decoder
-        mask_features, _, ms_features = MSDeformAttnPixelDecoder(
-            conv_dim=pd.conv_dim,
-            mask_dim=pd.mask_dim,
-            transformer_in_features=tuple(pd.transformer_in_features),
-            enc_layers=pd.transformer_enc_layers,
-            n_heads=pd.num_heads,
-            n_points=pd.num_points,
-            d_ffn=pd.dim_feedforward,
-            common_stride=pd.common_stride,
-            name="pixel_decoder",
-        )(feats, extra_features)
+        if pd.name == "fpn":
+            mask_features, _, ms_features = BasePixelDecoder(
+                conv_dim=pd.conv_dim, mask_dim=pd.mask_dim,
+                name="pixel_decoder",
+            )(feats, extra_features)
+        else:
+            mask_features, _, ms_features = MSDeformAttnPixelDecoder(
+                conv_dim=pd.conv_dim,
+                mask_dim=pd.mask_dim,
+                transformer_in_features=tuple(pd.transformer_in_features),
+                enc_layers=pd.transformer_enc_layers,
+                n_heads=pd.num_heads,
+                n_points=pd.num_points,
+                d_ffn=pd.dim_feedforward,
+                common_stride=pd.common_stride,
+                name="pixel_decoder",
+            )(feats, extra_features)
 
         td = cfg.transformer_decoder
         mode, head = _DECODER_KINDS[td.name]

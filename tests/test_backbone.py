@@ -41,3 +41,33 @@ def test_position_encodings_match_torch_semantics():
     np.testing.assert_allclose(pe[0, 0, 0], expected, rtol=1e-5)
     pe3 = position_encoding_3d(2, 4, 6, 256)
     assert pe3.shape == (2, 4, 6, 256)
+
+
+def test_fpn_pixel_decoder():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from openvis_tpu.config import Config
+    from openvis_tpu.models.segmenter import Segmenter
+
+    cfg = Config()
+    m = dataclasses.replace(
+        cfg.model,
+        num_classes=3,
+        pixel_decoder=dataclasses.replace(
+            cfg.model.pixel_decoder, name="fpn", conv_dim=64, mask_dim=64,
+        ),
+        transformer_decoder=dataclasses.replace(
+            cfg.model.transformer_decoder, name="frame", hidden_dim=64,
+            num_queries=8, nheads=4, dim_feedforward=128, dec_layers=2,
+            mask_dim=64,
+        ),
+    )
+    seg = Segmenter(m)
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.randn(2, 64, 96, 3).astype(np.float32))
+    params = seg.init(jax.random.PRNGKey(0), frames, 2)["params"]
+    out = seg.apply({"params": params}, frames, 2)
+    assert out["pred_masks"].shape == (1, 8, 2, 16, 24)
