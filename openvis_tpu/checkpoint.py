@@ -54,6 +54,36 @@ def restore_checkpoint(directory: str, state_template: Any) -> Any:
     return mgr.restore(step, args=ocp.args.StandardRestore(state_template))
 
 
+def load_params_from_checkpoint(directory: str) -> Optional[Any]:
+    """Load the ``params`` tree of the latest checkpoint as raw arrays.
+
+    Cross-architecture checkpoint surgery: BriVIS stage 2 initializes its
+    ``segmenter`` + ``clip_adapter`` subtrees from a SAN stage-1 checkpoint
+    (the reference points ``MODEL.WEIGHTS`` at the stage-1 ``model_final.pth``,
+    ``brivis_R50_bs16_6000st.yaml:3`` + ``train_net.py:290``, and the d2
+    checkpointer partial-loads matching keys).  The caller grafts the
+    returned tree onto a fresh init via :func:`merge_pretrained`; subtrees
+    absent from the target init (e.g. the checkpoint's own resampler when
+    grafting SAN→BriVIS there is none) merge harmlessly.
+
+    Returns ``None`` if the directory holds no checkpoint.
+    """
+    import orbax.checkpoint as ocp
+
+    if not os.path.isdir(directory):
+        return None
+    mgr = _mgr(directory)
+    step = mgr.latest_step()
+    if step is None:
+        return None
+    tree = mgr.restore(step, args=ocp.args.StandardRestore())
+    if not isinstance(tree, dict) or "params" not in tree:
+        raise ValueError(
+            f"checkpoint at {directory} step {step} has no 'params' tree"
+        )
+    return tree["params"]
+
+
 def merge_pretrained(params: Any, pretrained: Any, subtree: str = "") -> Any:
     """Graft a converted pretrained tree onto (a subtree of) init params.
 

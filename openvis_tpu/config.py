@@ -97,6 +97,10 @@ class CriterionConfig:
     train_num_points: int = 112 * 112
     oversample_ratio: float = 3.0
     importance_sample_ratio: float = 0.75
+    # BriVIS brownian-bridge loss: True = -log(ratio) (the paper's
+    # objective); False = raw ratio, bit-parity with the shipped reference
+    # (brownian_criterion.py:96-103)
+    brownian_neg_log: bool = True
 
 
 @dataclass(frozen=True)
@@ -218,6 +222,14 @@ class InputConfig:
 
 
 @dataclass(frozen=True)
+class DataloaderConfig:
+    """Reference: ``DATALOADER`` (``Base.yaml:62`` NUM_WORKERS: 4)."""
+
+    num_workers: int = 4              # host decode/augment threads
+    prefetch: int = 2                 # assembled batches buffered ahead
+
+
+@dataclass(frozen=True)
 class DatasetsConfig:
     train: Tuple[str, ...] = ("ytvis_2019_train2coco", "coco_2017_train")
     test: Tuple[str, ...] = ("ytvis_2019_val",)
@@ -241,6 +253,7 @@ class Config:
     solver: SolverConfig = field(default_factory=SolverConfig)
     input: InputConfig = field(default_factory=InputConfig)
     datasets: DatasetsConfig = field(default_factory=DatasetsConfig)
+    dataloader: DataloaderConfig = field(default_factory=DataloaderConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
     output_dir: str = "output"
     seed: int = 42

@@ -65,6 +65,16 @@ def list_datasets() -> List[str]:
     return sorted(_REGISTRY)
 
 
+def burst_class_splits() -> Dict[str, List[int]]:
+    """LVIS-id class splits for BURST metric reporting: "common" = the
+    COCO-overlapping known classes, "uncommon" = the rest (the reference's
+    hardcoded ``known_list``, ``data/evals/bursteval.py:63-70``)."""
+    return {
+        "common": [c["lvis_id"] for c in _load("common_burst_categories.json")],
+        "uncommon": [c["lvis_id"] for c in _load("uncommon_burst_categories.json")],
+    }
+
+
 def _register_all():
     ytvis19 = _load("ytvis_categories_2019.json")
     ytvis21 = _load("ytvis_categories_2021.json")
@@ -118,18 +128,23 @@ def _register_all():
             kind="coco_clip", eval_type="none",
         ))
 
-    # BURST (burst.py:612+): TAO frames with 482 LVIS categories
+    # BURST (burst.py:612+): TAO frames with 482 LVIS categories.  BURST
+    # annotations carry **LVIS ids** (``track_category_ids``), mapped to
+    # contiguous [0, 481] in table order (burst.py:523-531) — the id_map key
+    # is ``lvis_id``, not the table's own contiguous ``id``.
+    burst_sorted = sorted(burst, key=lambda c: c["id"])
+    burst_id_map = {c["lvis_id"]: i for i, c in enumerate(burst_sorted)}
     register(DatasetInfo(
         name="burst_val", image_root="burst/frames/val",
         json_file="burst/val/all_classes.json",
-        thing_classes=tuple(_thing_classes(burst)), id_map=_id_map(burst),
-        kind="burst", eval_type="burst",
+        thing_classes=tuple(c["name"] for c in burst_sorted),
+        id_map=burst_id_map, kind="burst", eval_type="burst",
     ))
     register(DatasetInfo(
         name="burst_train", image_root="burst/frames/train",
         json_file="burst/train/train.json",
-        thing_classes=tuple(_thing_classes(burst)), id_map=_id_map(burst),
-        kind="burst", eval_type="none",
+        thing_classes=tuple(c["name"] for c in burst_sorted),
+        id_map=burst_id_map, kind="burst", eval_type="none",
     ))
 
 

@@ -30,6 +30,20 @@ from openvis_tpu.data.mapper import (
 from openvis_tpu.structures import ClipTargets, ImageBatch
 
 
+def bucket_batches(samples, batch_size: int):
+    """Group a sample stream into same-shape batches without discarding:
+    each sample joins the bucket of its padded-canvas shape and a batch is
+    emitted the moment any bucket holds ``batch_size`` samples."""
+    buckets: Dict[tuple, List[Dict]] = {}
+    for s in samples:
+        key = tuple(s["pixels"].shape)
+        bucket = buckets.setdefault(key, [])
+        bucket.append(s)
+        if len(bucket) == batch_size:
+            yield collate(bucket)
+            buckets[key] = []
+
+
 def collate(samples: List[Dict]) -> Dict:
     """Stack same-shape samples into (ImageBatch, ClipTargets) arrays."""
     pixels = np.stack([s["pixels"] for s in samples])  # (B, T, H, W, 3)
@@ -48,11 +62,27 @@ def collate(samples: List[Dict]) -> Dict:
 
 
 class TrainLoader:
-    """Infinite iterator of fixed-shape batches."""
+    """Infinite iterator of fixed-shape batches.
 
-    def __init__(self, cfg: Config, seed: int = 0, prefetch: int = 2):
+    Host pipeline (the reference's per-rank DataLoader workers,
+    ``build.py:143`` + ``DATALOADER.NUM_WORKERS``, ``Base.yaml:62``):
+    ``num_workers`` threads decode JPEGs + augment into a shared sample
+    queue; an assembler thread groups samples into per-shape buckets
+    (orientation / canvas size) and emits a batch whenever a bucket fills.
+    No decoded sample is ever discarded — a draw whose shape mismatches the
+    current majority simply waits in its own bucket for peers (the round-1
+    single-thread loader dropped mismatching samples after full decode:
+    wasted work plus a sampling bias toward the majority orientation).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        seed: int = 0,
+        prefetch: Optional[int] = None,
+        num_workers: Optional[int] = None,
+    ):
         self.cfg = cfg
-        self.rng = np.random.RandomState(seed)
         root = cfg.datasets.root
         inp = cfg.input
         mean, std = cfg.model.pixel_mean, cfg.model.pixel_std
@@ -75,31 +105,52 @@ class TrainLoader:
         ratios = np.asarray(cfg.datasets.dataset_ratio, np.float64)
         self.probs = ratios / ratios.sum()
         self.batch_size = cfg.solver.ims_per_batch
+        if num_workers is None:
+            num_workers = cfg.dataloader.num_workers
+        if prefetch is None:
+            prefetch = cfg.dataloader.prefetch
+        self.num_workers = max(1, num_workers)
+        # bounded sample queue gives back-pressure to the decode threads
+        self._samples: "queue.Queue" = queue.Queue(
+            maxsize=max(2 * self.batch_size, 8)
+        )
         self._queue: "queue.Queue" = queue.Queue(maxsize=prefetch)
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        self._threads = []
+        for i in range(self.num_workers):
+            th = threading.Thread(
+                target=self._produce,
+                args=(np.random.RandomState(seed * 1000 + i),),
+                daemon=True,
+            )
+            th.start()
+            self._threads.append(th)
+        asm = threading.Thread(target=self._assemble, daemon=True)
+        asm.start()
+        self._threads.append(asm)
 
-    def _sample(self) -> Dict:
+    def _sample(self, rng: np.random.RandomState) -> Dict:
         while True:
-            si = self.rng.choice(len(self.sources), p=self.probs)
+            si = rng.choice(len(self.sources), p=self.probs)
             records, mapper = self.sources[si]
-            rec = records[self.rng.randint(len(records))]
+            rec = records[rng.randint(len(records))]
             try:
-                s = mapper(self.rng, rec)
+                s = mapper(rng, rec)
             except FileNotFoundError:
                 continue
             if s["valid"].any():
                 return s
 
-    def _worker(self):
+    def _produce(self, rng: np.random.RandomState):
         while True:
-            samples = [self._sample()]
-            shape = samples[0]["pixels"].shape
-            while len(samples) < self.batch_size:
-                s = self._sample()
-                if s["pixels"].shape == shape:  # orientation bucket match
-                    samples.append(s)
-            self._queue.put(collate(samples))
+            self._samples.put(self._sample(rng))
+
+    def _assemble(self):
+        def stream():
+            while True:
+                yield self._samples.get()
+
+        for batch in bucket_batches(stream(), self.batch_size):
+            self._queue.put(batch)
 
     def __iter__(self) -> Iterator[Dict]:
         return self

@@ -36,11 +36,30 @@ import numpy as np
 from openvis_tpu.config import Config
 from openvis_tpu.data import catalog
 from openvis_tpu.data.loader import test_videos
+from openvis_tpu.evals.burst_eval import BURSTEvaluator
 from openvis_tpu.evals.ytvis_eval import YTVISEvaluator
 from openvis_tpu.models.postprocess import inference_video_topk
 from openvis_tpu.models.tracking import apply_track_indices, track_by_embeds
 
 logger = logging.getLogger(__name__)
+
+
+def make_evaluator(info):
+    """Dispatch on the dataset's eval protocol (Trainer.build_evaluator,
+    reference train_net.py:78-88): BURST datasets get HOTA+TrackMAP, the
+    rest the YTVIS COCO-protocol suite."""
+    if info.eval_type == "burst":
+        return BURSTEvaluator(
+            class_splits=catalog.burst_class_splits(), dataset_info=info
+        )
+    return YTVISEvaluator(info)
+
+
+def _emit(evaluator, video_id, topk_np, image_size, orig_size):
+    if isinstance(evaluator, BURSTEvaluator):
+        evaluator.process_video(video_id, topk_np, image_size, orig_size)
+    else:
+        evaluator.process(video_id, topk_np, image_size, orig_size)
 
 
 def make_window_fn(cfg: Config, model):
@@ -190,8 +209,17 @@ def evaluate_dataset(
 ) -> Dict[str, float]:
     arch = cfg.model.meta_architecture
     info = catalog.get(dataset_name)
-    evaluator = YTVISEvaluator(info)
+    evaluator = make_evaluator(info)
 
+    # eval never reads aux-layer logits; for SAN/BriVIS that skips the
+    # (L+1)x CLIP post-encode per window (san.py:74-92 is train-only)
+    if getattr(model, "supervise_aux_logits", False):
+        model = model.clone(supervise_aux_logits=False)
+
+    if arch == "BriVIS":
+        return _evaluate_brivis_windowed(
+            cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+        )
     if is_single_shot(arch):
         return _evaluate_single_shot(
             cfg, model, params, dataset_name, text_feats, max_videos, evaluator
@@ -243,16 +271,17 @@ def evaluate_dataset(
             masks = np.concatenate([masks, masks[:, -1:].repeat(tb - t, 1)], axis=1)
             if obj is not None:
                 obj = np.concatenate([obj, obj[-1:].repeat(tb - t, 0)])
-        kwargs = {}
-        if obj is not None:
-            kwargs["obj_logits"] = jnp.asarray(obj)
-        topk_out = post_fn(
-            jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(embeds),
-            jnp.asarray(fv), **kwargs,
-        )
-        topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
-
-        if openvis_score_fn is not None:
+        if openvis_score_fn is None:
+            kwargs = {}
+            if obj is not None:
+                kwargs["obj_logits"] = jnp.asarray(obj)
+            topk_out = post_fn(
+                jnp.asarray(logits), jnp.asarray(masks), jnp.asarray(embeds),
+                jnp.asarray(fv), **kwargs,
+            )
+            topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
+        else:  # OpenVIS: CLIP crop scoring replaces the generic scores —
+            # track once, skip the generic postprocess entirely
             # aligned masks for ALL queries, then CLIP-score per chunk
             indices = track_by_embeds(jnp.asarray(embeds)[None])
             aligned = np.asarray(apply_track_indices(
@@ -300,15 +329,40 @@ def evaluate_dataset(
             jnp.asarray(mk), (mk.shape[0], t, ph, pw), method="bilinear"
         )
         topk_np["mask_logits"] = np.asarray(up)
-        evaluator.process(
-            rec["video_id"], topk_np, sample["image_size"], sample["orig_size"]
-        )
+        _emit(evaluator, rec["video_id"], topk_np,
+              sample["image_size"], sample["orig_size"])
 
     return _finalize(cfg, dataset_name, evaluator)
 
 
 def _finalize(cfg: Config, dataset_name: str, evaluator) -> Dict[str, float]:
     info = catalog.get(dataset_name)
+    # dump raw predictions next to metrics (ytvis_eval.py:136-175)
+    if cfg.output_dir:
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        path = os.path.join(cfg.output_dir, f"results_{dataset_name}.json")
+        with open(path, "w") as f:
+            json.dump(evaluator.predictions, f)
+        logger.info("wrote %d predictions to %s",
+                    len(evaluator.predictions), path)
+
+    if isinstance(evaluator, BURSTEvaluator):
+        from openvis_tpu.data.mapper import load_burst_records
+
+        gts = []
+        for rec in load_burst_records(info, cfg.datasets.root):
+            for ann in rec["annotations"]:
+                gts.append({
+                    "video_id": rec["video_id"],
+                    "category_id": ann["category_id"],
+                    "segmentations": ann["segmentations"],
+                })
+        if not gts:
+            logger.warning("%s has no GT tracks; predictions only",
+                           dataset_name)
+            return {"num_predictions": float(len(evaluator.predictions))}
+        return evaluator.evaluate(gts, sorted(info.id_map))
+
     gt_path = os.path.join(cfg.datasets.root, info.json_file)
     with open(gt_path) as f:
         gt_json = json.load(f)
@@ -316,7 +370,135 @@ def _finalize(cfg: Config, dataset_name: str, evaluator) -> Dict[str, float]:
         logger.warning("%s has no GT annotations; writing predictions only",
                        dataset_name)
         return {"num_predictions": float(len(evaluator.predictions))}
-    return evaluator.evaluate(gt_json)
+    metrics = evaluator.evaluate(gt_json)
+    per_cat = getattr(evaluator, "per_category", None)
+    if per_cat and cfg.output_dir:
+        with open(os.path.join(
+            cfg.output_dir, f"percat_{dataset_name}.json"
+        ), "w") as f:
+            json.dump(per_cat, f)
+        shown = sorted(
+            ((n, v) for n, v in per_cat.items() if v == v),
+            key=lambda kv: -kv[1],
+        )
+        table = "\n".join(f"  {n:<28s} {v * 100:6.2f}" for n, v in shown)
+        logger.info("per-category AP (%s):\n%s", dataset_name, table)
+    return metrics
+
+
+def _evaluate_brivis_windowed(
+    cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+) -> Dict[str, float]:
+    """BriVIS long-video inference WITHOUT truncation: the frozen per-frame
+    stack runs in fixed-size windows, the temporal resampler runs once over
+    the full concatenated (small) query embeds, and the mask/CLIP heads run
+    per window again.  Resolves the reference's inconsistent windowed path
+    (brivis.py:267-316 calls the Raw resampler's signature on the Temporal
+    resampler; SURVEY §3.3) the way its data flow intends."""
+    window = cfg.model.test.window_size
+    topk = cfg.model.test.topk_per_video
+    text = jnp.asarray(text_feats)
+
+    stack_fn = jax.jit(
+        lambda p, f: model.apply({"params": p}, f, f.shape[0],
+                                 method="frame_stack")
+    )
+    resample_fn = jax.jit(
+        lambda p, e: model.apply({"params": p}, e, method="resample")
+    )
+    predict_fn = jax.jit(
+        lambda p, e, mf, af, bk, tx: model.apply(
+            {"params": p}, e, mf, af, bk, tx, method="predict_window"
+        )
+    )
+
+    n_videos = 0
+    for rec, sample in test_videos(cfg, dataset_name):
+        if max_videos is not None and n_videos >= max_videos:
+            break
+        n_videos += 1
+        frames = sample["pixels"]  # (T, H, W, 3) numpy
+        t = frames.shape[0]
+        parts = {"embeds": [], "mask_feats": [], "attn_feats": [],
+                 "bk_tokens": []}
+        for i in range(0, t, window):
+            chunk = frames[i : i + window]
+            pad = window - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            out = stack_fn(params, jnp.asarray(chunk))
+            keep = window - pad
+            parts["embeds"].append(np.asarray(out["pred_embeds"][0, :keep]))
+            parts["mask_feats"].append(np.asarray(out["mask_feats"][:keep]))
+            parts["attn_feats"].append(np.asarray(out["attn_feats"][:keep]))
+            parts["bk_tokens"].append(np.asarray(out["bk_tokens"][:keep]))
+        embeds = np.concatenate(parts["embeds"], axis=0)        # (T, Q, C)
+        mask_feats = np.concatenate(parts["mask_feats"], axis=0)
+        attn_feats = np.concatenate(parts["attn_feats"], axis=0)
+        bk_tokens = np.concatenate(parts["bk_tokens"], axis=0)
+
+        # pad the time axis to a bucket so the resampler trace count stays
+        # bounded; NO max_frames truncation — every frame contributes
+        tb = _bucket(t)
+        if tb > t:
+            embeds = np.concatenate([embeds, embeds[-1:].repeat(tb - t, 0)])
+            mask_feats = np.concatenate(
+                [mask_feats, mask_feats[-1:].repeat(tb - t, 0)]
+            )
+            attn_feats = np.concatenate(
+                [attn_feats, attn_feats[-1:].repeat(tb - t, 0)]
+            )
+            bk_tokens = np.concatenate(
+                [bk_tokens, bk_tokens[-1:].repeat(tb - t, 0)]
+            )
+
+        # MinVIS alignment over the FULL sequence (brivis.py:173-174)
+        indices = track_by_embeds(jnp.asarray(embeds)[None])    # (1, Tb, Q)
+        aligned = apply_track_indices(jnp.asarray(embeds)[None], indices)
+        final = resample_fn(params, aligned)                    # (1, Tb, Q, C)
+        final_np = np.asarray(final[0])
+
+        masks_parts, logits_parts = [], []
+        for i in range(0, tb, window):
+            j = min(i + window, tb)
+            pad = window - (j - i)
+            sl = slice(i, j)
+
+            def _pad(a):
+                return (
+                    np.concatenate([a[sl], a[j - 1 : j].repeat(pad, 0)])
+                    if pad else a[sl]
+                )
+
+            m, lg = predict_fn(
+                params, jnp.asarray(_pad(final_np)),
+                jnp.asarray(_pad(mask_feats)), jnp.asarray(_pad(attn_feats)),
+                jnp.asarray(_pad(bk_tokens)), text,
+            )
+            keep = window - pad
+            masks_parts.append(np.asarray(m[:keep]))
+            logits_parts.append(np.asarray(lg[:keep]))
+        masks = np.concatenate(masks_parts, axis=0)      # (Tb, Q, h, w)
+        logits = np.concatenate(logits_parts, axis=0)    # (Tb, Q, K+1)
+
+        fv = np.zeros((tb, 1, 1), np.float32)
+        fv[:t] = 1.0
+        mean_logits = (logits * fv).sum(0) / max(float(fv.sum()), 1.0)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(mean_logits), -1))
+        probs = probs[..., :-1]                          # drop bg column
+        topk_out = inference_video_topk(
+            jnp.asarray(probs), jnp.asarray(np.swapaxes(masks, 0, 1)), topk
+        )
+        topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
+        mk = topk_np["mask_logits"][:, :t]
+        ph, pw = sample["pixels"].shape[1:3]
+        up = jax.image.resize(
+            jnp.asarray(mk), (mk.shape[0], t, ph, pw), method="bilinear"
+        )
+        topk_np["mask_logits"] = np.asarray(up)
+        _emit(evaluator, rec["video_id"], topk_np,
+              sample["image_size"], sample["orig_size"])
+    return _finalize(cfg, dataset_name, evaluator)
 
 
 def _evaluate_single_shot(
@@ -347,7 +529,6 @@ def _evaluate_single_shot(
             jnp.asarray(mk), (mk.shape[0], t, ph, pw), method="bilinear"
         )
         topk_np["mask_logits"] = np.asarray(up)
-        evaluator.process(
-            rec["video_id"], topk_np, sample["image_size"], sample["orig_size"]
-        )
+        _emit(evaluator, rec["video_id"], topk_np,
+              sample["image_size"], sample["orig_size"])
     return _finalize(cfg, dataset_name, evaluator)

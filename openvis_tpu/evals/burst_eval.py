@@ -161,13 +161,51 @@ def _present(track, f):
 class BURSTEvaluator:
     """Accumulates track predictions; computes HOTA + TrackMAP per split."""
 
-    def __init__(self, class_splits: Optional[Dict[str, Sequence[int]]] = None):
+    def __init__(
+        self,
+        class_splits: Optional[Dict[str, Sequence[int]]] = None,
+        dataset_info=None,
+        min_area: int = 20,
+    ):
         self.predictions: List[Dict] = []
         self.class_splits = class_splits or {}
+        self.min_area = min_area
+        self._contig_to_dataset_id = (
+            {v: k for k, v in dataset_info.id_map.items()}
+            if dataset_info is not None else None
+        )
 
     def process(self, prediction: Dict):
         """prediction: {video_id, category_id, score, segmentations}."""
         self.predictions.append(prediction)
+
+    def process_video(self, video_id, topk_out, image_size, orig_size):
+        """Model top-k output -> track predictions.  Frames where a track's
+        mask covers < ``min_area`` pixels are marked absent (None), the
+        reference's ``m.sum() > 20`` validity rule
+        (``data/evals/burst_eval.py:203-218``); contiguous labels unmap to
+        LVIS ids (``:146-160``)."""
+        from openvis_tpu.evals.ytvis_eval import masks_to_video_rles
+
+        assert self._contig_to_dataset_id is not None
+        scores = np.asarray(topk_out["scores"])
+        labels = np.asarray(topk_out["labels"])
+        masks = np.asarray(topk_out["mask_logits"])
+        for i in range(len(scores)):
+            segs = masks_to_video_rles(masks[i], image_size, orig_size)
+            segs = [
+                s if s is not None and rle_util.area(s) > self.min_area
+                else None
+                for s in segs
+            ]
+            if all(s is None for s in segs):
+                continue
+            self.predictions.append({
+                "video_id": int(video_id),
+                "category_id": self._contig_to_dataset_id[int(labels[i])],
+                "score": float(scores[i]),
+                "segmentations": segs,
+            })
 
     def evaluate(self, gts: List[Dict], cat_ids: Sequence[int]) -> Dict[str, float]:
         results: Dict[str, float] = {}

@@ -241,6 +241,19 @@ class YTVOSEval:
             "AR10": ar(max_det=10),
         }
 
+    def per_category_ap(self) -> Dict[int, float]:
+        """AP per category id (all IoU thresholds, area=all, maxDets=100) —
+        the reference's per-category table (ytvis_eval.py:241-252).
+        Categories with no GT report nan."""
+        ai = list(self.AREA_RNG).index("all")
+        mi = self.MAX_DETS.index(100)
+        out: Dict[int, float] = {}
+        for ki, cat in enumerate(self.cat_ids):
+            p = self.precision[:, :, ki, ai, mi]
+            p = p[p > -1]
+            out[int(cat)] = float(p.mean()) if p.size else float("nan")
+        return out
+
 
 class YTVISEvaluator:
     """Accumulates model top-k outputs and computes the metric suite.
@@ -306,4 +319,10 @@ class YTVISEvaluator:
         cat_ids = sorted({c["id"] for c in gt_json["categories"]})
         ev = YTVOSEval(gts, self.predictions, cat_ids)
         ev.accumulate()
+        # per-category table kept for observability (ytvis_eval.py:241-252)
+        names = {c["id"]: c.get("name", str(c["id"]))
+                 for c in gt_json["categories"]}
+        self.per_category = {
+            names[cid]: ap_c for cid, ap_c in ev.per_category_ap().items()
+        }
         return ev.summarize()

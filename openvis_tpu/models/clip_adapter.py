@@ -55,15 +55,26 @@ def roi_crop(
     boxes: jax.Array,    # (R, 4) xyxy
     out_size: int,
 ) -> jax.Array:
-    """Bilinear crop-resize each region to (out_size, out_size)."""
+    """Bilinear crop-resize each region to (out_size, out_size).
+
+    Matches torchvision ``roi_align(aligned=False)`` — the reference's call
+    (``adapter.py:108``, no half-pixel correction; samples at bin centers
+    ``x0 + (j+0.5)*bin_w`` on the integer pixel grid, clamped inside
+    [-1, size] and zero outside) — with ``sampling_ratio=1`` (one sample per
+    bin; the reference's adaptive per-roi grid count is data-dependent and
+    cannot trace with static shapes)."""
     r, h, w, c = images.shape
     x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     sx = (x1 - x0) / out_size
     sy = (y1 - y0) / out_size
     grid = jnp.arange(out_size, dtype=jnp.float32) + 0.5
-    # output pixel centers in input coords (roi_align bin centers)
-    cx = x0[:, None] + grid[None, :] * sx[:, None] - 0.5   # (R, S)
-    cy = y0[:, None] + grid[None, :] * sy[:, None] - 0.5
+    cx = x0[:, None] + grid[None, :] * sx[:, None]         # (R, S)
+    cy = y0[:, None] + grid[None, :] * sy[:, None]
+    # roi_align: samples beyond 1px outside are zero; within, clamp to edge
+    inb = ((cy[:, :, None] >= -1.0) & (cy[:, :, None] <= h)
+           & (cx[:, None, :] >= -1.0) & (cx[:, None, :] <= w))
+    cx = jnp.clip(cx, 0.0, w - 1)
+    cy = jnp.clip(cy, 0.0, h - 1)
 
     x0i = jnp.floor(cx).astype(jnp.int32)
     y0i = jnp.floor(cy).astype(jnp.int32)
@@ -83,12 +94,13 @@ def roi_crop(
     g11 = gather(y0i + 1, x0i + 1)
     ly_ = ly[:, :, None, None]
     lx_ = lx[:, None, :, None]
-    return (
+    out = (
         g00 * (1 - ly_) * (1 - lx_)
         + g01 * (1 - ly_) * lx_
         + g10 * ly_ * (1 - lx_)
         + g11 * ly_ * lx_
     )
+    return jnp.where(inb[..., None], out, 0.0)
 
 
 def clip_crop_classify(

@@ -40,18 +40,15 @@ from openvis_tpu.structures import ClipTargets
 
 class BriVISModel(nn.Module):
     cfg: ModelConfig
+    # train: CLIP post-encode for every resampler layer (aux supervision,
+    # brivis.py:178-182); eval only reads the final layer, so the engine
+    # clones the model with False to cut (L+1)x CLIP cost to 1x.
+    supervise_aux_logits: bool = True
 
-    @nn.compact
-    def __call__(
-        self,
-        frames: jax.Array,      # (B*T, H, W, 3) dataset-normalized
-        num_frames: int,
-        text_feats: jax.Array,  # (K, D)
-    ) -> Dict[str, Any]:
+    def setup(self):
         cfg = self.cfg
         ca = cfg.clip_adapter
-        t = num_frames
-        adapter = SideAdapter(
+        self.adapter = SideAdapter(
             clip_model_name=ca.clip_model_name,
             out_dims=cfg.pixel_decoder.conv_dim,
             broken_idx=ca.broken_id,
@@ -59,32 +56,57 @@ class BriVISModel(nn.Module):
             num_queries=cfg.transformer_decoder.num_queries,
             name="clip_adapter",
         )
+        self.segmenter = Segmenter(cfg, name="segmenter")
+        self.resampler = TemporalResampler(
+            hidden_dim=cfg.transformer_decoder.hidden_dim,
+            feed_dim=cfg.transformer_decoder.dim_feedforward,
+            nheads=cfg.transformer_decoder.nheads,
+            nlayers=cfg.resampler.num_layers,
+            name="resampler",
+        )
+        self.brownian_dense = nn.Dense(
+            cfg.transformer_decoder.hidden_dim, name="brownian_proj"
+        )
+
+    def _frame_stack(self, frames: jax.Array, num_frames: int):
+        """Frozen stage-1 per-frame stack: front CLIP + segmenter."""
+        cfg = self.cfg
         mean = jnp.asarray(cfg.pixel_mean, frames.dtype)
         std = jnp.asarray(cfg.pixel_std, frames.dtype)
         frames_raw = frames * std + mean
-
-        mg_feats, bk_tokens, grid = adapter.front_encode(frames_raw)
-        image_out = Segmenter(cfg, name="segmenter")(
-            frames, t, extra_features=list(mg_feats)[::-1]
+        mg_feats, bk_tokens, grid = self.adapter.front_encode(frames_raw)
+        image_out = self.segmenter(
+            frames, num_frames, extra_features=list(mg_feats)[::-1]
         )
         # frozen stage-1 (brivis.py:155-161)
         image_out = jax.tree.map(
             lambda x: jax.lax.stop_gradient(x) if isinstance(x, jax.Array) else x,
             image_out,
         )
-        bk_tokens = jax.lax.stop_gradient(bk_tokens)
+        return image_out, jax.lax.stop_gradient(bk_tokens), grid
+
+    def __call__(
+        self,
+        frames: jax.Array,      # (B*T, H, W, 3) dataset-normalized
+        num_frames: int,
+        text_feats: jax.Array,  # (K, D)
+    ) -> Dict[str, Any]:
+        t = num_frames
+        image_out, bk_tokens, grid = self._frame_stack(frames, t)
 
         bt = frames.shape[0]
         b = bt // t
-        text_full = jax.lax.stop_gradient(adapter.text_with_bg(text_feats))
+        text_full = jax.lax.stop_gradient(self.adapter.text_with_bg(text_feats))
 
         # frozen per-frame CLIP logits (brivis.py:166-169)
         biases = image_out["class_attn_biases"]  # (B, T, nH, Q, h, w)
         nh, q = biases.shape[2], biases.shape[3]
-        img_feats = adapter.post_encode(
+        img_feats = self.adapter.post_encode(
             bk_tokens, biases.reshape(bt, nh, q, *biases.shape[-2:]), grid
         )
-        image_logits = adapter.sim_logits(text_full, img_feats).reshape(b, t, q, -1)
+        image_logits = self.adapter.sim_logits(text_full, img_feats).reshape(
+            b, t, q, -1
+        )
         image_logits = jax.lax.stop_gradient(image_logits)
 
         # MinVIS alignment (brivis.py:173-174, 231-240)
@@ -97,30 +119,34 @@ class BriVISModel(nn.Module):
         )
         image_masks = jnp.swapaxes(image_masks, 1, 2)     # (B, Q, T, H, W)
 
-        res = TemporalResampler(
-            hidden_dim=cfg.transformer_decoder.hidden_dim,
-            feed_dim=cfg.transformer_decoder.dim_feedforward,
-            nheads=cfg.transformer_decoder.nheads,
-            nlayers=cfg.resampler.num_layers,
-            name="resampler",
-        )(frame_embeds, image_out["mask_feats"], image_out["attn_feats"])
+        res = self.resampler(
+            frame_embeds, image_out["mask_feats"], image_out["attn_feats"]
+        )
 
         # CLIP logits for all resampler layers in one batched post-encode
         ab = res["attn_biases_all"]  # (L+1, B*T, nH, Q, h, w)
         l1 = ab.shape[0]
-        toks = jnp.broadcast_to(
-            bk_tokens[None], (l1, *bk_tokens.shape)
-        ).reshape(l1 * bt, *bk_tokens.shape[1:])
-        feats = adapter.post_encode(
-            toks, ab.reshape(l1 * bt, *ab.shape[2:]), grid
-        )
-        logits_all = adapter.sim_logits(text_full, feats).reshape(
-            l1, b, t, q, -1
-        )
+        if self.supervise_aux_logits:
+            toks = jnp.broadcast_to(
+                bk_tokens[None], (l1, *bk_tokens.shape)
+            ).reshape(l1 * bt, *bk_tokens.shape[1:])
+            feats = self.adapter.post_encode(
+                toks, ab.reshape(l1 * bt, *ab.shape[2:]), grid
+            )
+            logits_all = self.adapter.sim_logits(text_full, feats).reshape(
+                l1, b, t, q, -1
+            )
+        else:  # eval: final layer only, broadcast for shape parity
+            feats = self.adapter.post_encode(bk_tokens, ab[-1], grid)
+            logits = self.adapter.sim_logits(text_full, feats).reshape(
+                b, t, q, -1
+            )
+            logits_all = jnp.broadcast_to(
+                logits[None], (l1, b, t, q, logits.shape[-1])
+            )
 
         # brownian projection (brownian_criterion.py:64-70)
-        brownian = nn.Dense(cfg.transformer_decoder.hidden_dim,
-                            name="brownian_proj")(res["pred_embeds"])
+        brownian = self.brownian_dense(res["pred_embeds"])
 
         return {
             "pred_logits_all": logits_all,          # (L+1, B, T, Q, K+1)
@@ -132,6 +158,47 @@ class BriVISModel(nn.Module):
             "image_logits": image_logits,           # (B, T, Q, K+1) frozen
             "image_masks": image_masks,             # (B, Q, T, H, W) frozen
         }
+
+    # ---- windowed long-video inference (resolves the reference's
+    # inconsistent BriVIS window path, brivis.py:267-316 / SURVEY §3.3:
+    # per-frame stack runs per window; the resampler's temporal attention
+    # runs ONCE over the full concatenated (B, T, Q, C) embeds; the heads +
+    # biased CLIP post-encode run per window again) ----
+
+    def frame_stack(self, frames: jax.Array, num_frames: int) -> Dict[str, Any]:
+        """One window of the frozen per-frame stack -> small/pixel artifacts
+        for later full-sequence resampling."""
+        image_out, bk_tokens, _ = self._frame_stack(frames, num_frames)
+        return {
+            "pred_embeds": image_out["pred_embeds"],   # (B, T, Q, C)
+            "mask_feats": image_out["mask_feats"],     # (B*T, H, W, C)
+            "attn_feats": image_out["attn_feats"],     # (B*T, nH, h, w, C)
+            "bk_tokens": bk_tokens,                    # (B*T, 1+L, W)
+        }
+
+    def resample(self, aligned_embeds: jax.Array) -> jax.Array:
+        """Temporal transform over the FULL sequence: (B, T, Q, C) aligned
+        -> final-layer per-frame embeds (B, T, Q, C)."""
+        return self.resampler.final_embeds(aligned_embeds)
+
+    def predict_window(
+        self,
+        embeds: jax.Array,      # (N, Q, C) final per-frame embeds (window)
+        mask_feats: jax.Array,  # (N, H, W, C)
+        attn_feats: jax.Array,  # (N, nH, h, w, C)
+        bk_tokens: jax.Array,   # (N, 1+L, W)
+        text_feats: jax.Array,  # (K, D)
+    ):
+        """Final-layer heads + biased CLIP for one window ->
+        (masks (N, Q, H, W), logits (N, Q, K+1))."""
+        masks, biases = self.resampler.predict_frames(
+            embeds, mask_feats, attn_feats
+        )
+        g = int(round((bk_tokens.shape[1] - 1) ** 0.5))  # square CLIP grid
+        feats = self.adapter.post_encode(bk_tokens, biases, (g, g))
+        text_full = self.adapter.text_with_bg(text_feats)
+        logits = self.adapter.sim_logits(text_full, feats)
+        return masks, logits
 
 
 def _tall(masks: jax.Array) -> jax.Array:
@@ -194,7 +261,9 @@ def brivis_loss(
         rng_l, logits_all, masks_all, tall_targets, s, axis_name,
         fixed_assignment=assignment,
     )
-    bc, htm = brownian_bridge_loss(rng_b, outputs["brownian_embeds"])
+    bc, htm = brownian_bridge_loss(
+        rng_b, outputs["brownian_embeds"], neg_log=c.brownian_neg_log
+    )
     losses["bc_loss"] = bc
     losses["htm_loss"] = htm
     losses["total"] = losses["total"] + bc + htm

@@ -9,11 +9,19 @@ per-frame query embeddings ``(B, T, Q, C)`` viewed as length-T sequences per
 (``mask_embed x mask_feats``) and side-adapter attention biases
 (``attn_embed x attn_feats``) whose CLIP logits the meta-arch computes.
 
-TPU delta: the per-layer prediction heads don't feed back into the next
-layer (no masked attention here), so all L+1 layer outputs are stacked and
-the heads + the expensive biased-CLIP post-encode run ONCE over the stacked
-layer axis — one trace, MXU-shaped batches, instead of the reference's
-python loop of per-layer CLIP calls.
+TPU deltas:
+  * the per-layer prediction heads don't feed back into the next layer (no
+    masked attention here), so all L+1 layer outputs are stacked and the
+    heads + the expensive biased-CLIP post-encode run ONCE over the stacked
+    layer axis — one trace, MXU-shaped batches, instead of the reference's
+    python loop of per-layer CLIP calls;
+  * the temporal transform (:meth:`final_embeds`) and the per-frame heads
+    (:meth:`predict_frames`) are separately callable so long-video inference
+    can run the frame stack in windows, resample the (small) concatenated
+    embeds over the FULL sequence, and apply the heads window-by-window —
+    the windowed path the reference sketches inconsistently
+    (``brivis.py:267-316`` calls the Raw resampler's 9-arg signature on the
+    6-arg Temporal resampler, SURVEY §3.3).
 """
 
 from __future__ import annotations
@@ -37,46 +45,96 @@ class TemporalResampler(nn.Module):
     nheads: int = 8
     nlayers: int = 6
 
-    @nn.compact
+    def setup(self):
+        n = self.nlayers
+        self.longs = [
+            MultiheadAttention(self.hidden_dim, self.nheads, name=f"long{i}")
+            for i in range(n)
+        ]
+        self.long_norms = [nn.LayerNorm(name=f"long_norm{i}") for i in range(n)]
+        self.short_conv1s = [
+            nn.Conv(self.hidden_dim, (5,), padding="VALID",
+                    name=f"short{i}_conv1")
+            for i in range(n)
+        ]
+        self.short_conv2s = [
+            nn.Conv(self.hidden_dim, (3,), padding="VALID",
+                    name=f"short{i}_conv2")
+            for i in range(n)
+        ]
+        self.agg_norms = [nn.LayerNorm(name=f"agg_norm{i}") for i in range(n)]
+        self.ffns = [
+            FFNLayer(self.hidden_dim, self.feed_dim, name=f"ffn{i}")
+            for i in range(n)
+        ]
+        self.decode_norm = nn.LayerNorm(name="decode_norm")
+        self.mask_embed_mlp = MLP(
+            self.hidden_dim, self.hidden_dim, 3, name="mask_embed"
+        )
+        self.attn_embed_mlp = MLP(
+            self.hidden_dim, self.hidden_dim, 3, name="attn_embed"
+        )
+
+    def _encode_layers(self, frame_embeds: jax.Array):
+        """(B, T, Q, C) -> normed stacked layer outputs (L+1, B*Q, T, C)."""
+        b, t, q, c = frame_embeds.shape
+        # (B*Q, T, C): temporal sequences per query
+        x = jnp.transpose(frame_embeds, (0, 2, 1, 3)).reshape(b * q, t, c)
+        layer_outputs = [x]
+        for i in range(self.nlayers):
+            # long: post-norm self-attn over T (resampler.py:262-266)
+            attn = self.longs[i](x, x, x)
+            x = self.long_norms[i](x + attn)
+            # short: replicate-pad conv1d k5 -> relu -> k3, residual
+            y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+            y = self.short_conv1s[i](y)
+            y = nn.relu(y)
+            y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            y = self.short_conv2s[i](y)
+            x = self.agg_norms[i](y + x)
+            x = self.ffns[i](x)
+            layer_outputs.append(x)
+        stacked = jnp.stack(layer_outputs)  # (L+1, B*Q, T, C)
+        return self.decode_norm(stacked), (b, t, q, c)
+
+    def final_embeds(self, frame_embeds: jax.Array) -> jax.Array:
+        """Temporal transform only: (B, T, Q, C) -> final-layer normed
+        per-frame embeds (B, T, Q, C).  Windowed-inference entry: the heads
+        run per window via :meth:`predict_frames`."""
+        normed, (b, t, q, c) = self._encode_layers(frame_embeds)
+        return jnp.transpose(
+            normed[-1].reshape(b, q, t, c), (0, 2, 1, 3)
+        )
+
+    def predict_frames(
+        self,
+        per_frame_embeds: jax.Array,  # (N, Q, C) final-layer normed embeds
+        mask_feats: jax.Array,        # (N, H, W, C)
+        attn_feats: jax.Array,        # (N, nH, h, w, C)
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Heads for a window of frames -> (masks (N, Q, H, W),
+        attn_biases (N, nH, Q, h, w))."""
+        me = self.mask_embed_mlp(per_frame_embeds)
+        ae = self.attn_embed_mlp(per_frame_embeds)
+        masks = jnp.einsum("nqc,nhwc->nqhw", me, mask_feats)
+        biases = jnp.einsum("nqc,nmhwc->nmqhw", ae, attn_feats)
+        return masks, biases
+
     def __call__(
         self,
         frame_embeds: jax.Array,  # (B, T, Q, C) aligned
         mask_feats: jax.Array,    # (B*T, H, W, C)
         attn_feats: jax.Array,    # (B*T, nH, h, w, C)
     ) -> Dict[str, jax.Array]:
-        b, t, q, c = frame_embeds.shape
-
-        # (B*Q, T, C): temporal sequences per query
-        x = jnp.transpose(frame_embeds, (0, 2, 1, 3)).reshape(b * q, t, c)
-
-        layer_outputs = [x]
-        for i in range(self.nlayers):
-            # long: post-norm self-attn over T (resampler.py:262-266)
-            attn = MultiheadAttention(self.hidden_dim, self.nheads,
-                                      name=f"long{i}")(x, x, x)
-            x = nn.LayerNorm(name=f"long_norm{i}")(x + attn)
-            # short: replicate-pad conv1d k5 -> relu -> k3, residual
-            y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
-            y = nn.Conv(self.hidden_dim, (5,), padding="VALID",
-                        name=f"short{i}_conv1")(y)
-            y = nn.relu(y)
-            y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
-            y = nn.Conv(self.hidden_dim, (3,), padding="VALID",
-                        name=f"short{i}_conv2")(y)
-            x = nn.LayerNorm(name=f"agg_norm{i}")(y + x)
-            x = FFNLayer(self.hidden_dim, self.feed_dim, name=f"ffn{i}")(x)
-            layer_outputs.append(x)
-
-        stacked = jnp.stack(layer_outputs)  # (L+1, B*Q, T, C)
-        l1 = stacked.shape[0]
-        normed = nn.LayerNorm(name="decode_norm")(stacked)
+        normed, (b, t, q, c) = self._encode_layers(frame_embeds)
+        l1 = normed.shape[0]
         # per-frame query embeds: (L+1, B*T, Q, C)
         per_frame = jnp.transpose(
             normed.reshape(l1, b, q, t, c), (0, 1, 3, 2, 4)
         ).reshape(l1, b * t, q, c)
 
-        mask_embed = MLP(self.hidden_dim, self.hidden_dim, 3, name="mask_embed")(per_frame)
-        attn_embed = MLP(self.hidden_dim, self.hidden_dim, 3, name="attn_embed")(per_frame)
+        mask_embed = self.mask_embed_mlp(per_frame)
+        attn_embed = self.attn_embed_mlp(per_frame)
         masks = jnp.einsum("lnqc,nhwc->lnqhw", mask_embed, mask_feats)
         attn_biases = jnp.einsum("lnqc,nmhwc->lnmqhw", attn_embed, attn_feats)
 

@@ -40,58 +40,94 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
-def _level_kernel(y_ref, x_ref, a_ref, v_ref, out_ref, tx_ref, acc_ref,
-                  *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
+def _level_kernel(flags_ref, y_ref, x_ref, a_ref, v_ref, out_ref,
+                  tx_ref, acc_ref,
+                  *, h: int, w: int, p: int, bq: int, wp: int, rr: int,
+                  ct):
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
     rb = pl.program_id(2)
     nrb = pl.num_programs(2)
 
     @pl.when(rb == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
-        # hoist column tents: tx[q, p, X] = tent(x_qp - X), zero on padding
+        # hoist column tents: tx[q, p, X] = tent(x_qp - X), zero on padding.
+        # Differences are computed in f32 (coords up to W would lose ~0.5px
+        # in bf16); only the bounded [0,1] tent VALUES are stored as `ct`.
         xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
         for pi in range(p):
             xq = x_ref[0, :, pi][:, None]                 # (BQ, 1)
             tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
             tx = jnp.where(xj < w, tx, 0.0)
-            tx_ref[pi] = tx
+            tx_ref[pi] = tx.astype(ct)
 
-    # RR feature rows per program: LHS (BQ, RR*WP) @ V (RR*WP, ch) — one
-    # MXU-sized dot; padded rows hold zero values so spill tents are harmless
-    r0 = (rb * rr).astype(jnp.float32)
-    lhs_rows = []
-    for ri in range(rr):
-        rf = r0 + ri
-        lhs = jnp.zeros((bq, wp), jnp.float32)
-        for pi in range(p):
-            ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0, :, pi] - rf))
-            wgt = (a_ref[0, :, pi] * ty)[:, None]         # (BQ, 1)
-            lhs = lhs + wgt * tx_ref[pi]
-        lhs_rows.append(lhs)
-    lhs_all = jnp.concatenate(lhs_rows, axis=1)           # (BQ, RR*WP)
+    # row-block gating: deformable attention is local, so most feature-row
+    # blocks have zero tent mass for this query block (the CUDA reference
+    # gets the same effect from gather locality, ms_deform_im2col_cuda.cuh)
+    @pl.when(flags_ref[b, qb, rb] > 0)
+    def _body():
+        # RR feature rows per program: LHS (BQ, RR*WP) @ V (RR*WP, ch) — one
+        # MXU dot; padded rows hold zero values so spill tents are harmless
+        r0 = (rb * rr).astype(jnp.float32)
+        lhs_rows = []
+        for ri in range(rr):
+            rf = r0 + ri
+            lhs = jnp.zeros((bq, wp), ct)
+            for pi in range(p):
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0, :, pi] - rf))
+                wgt = (a_ref[0, :, pi] * ty).astype(ct)[:, None]  # (BQ, 1)
+                lhs = lhs + wgt * tx_ref[pi]
+            lhs_rows.append(lhs)
+        lhs_all = jnp.concatenate(lhs_rows, axis=1)       # (BQ, RR*WP)
 
-    vblk = v_ref[0].astype(jnp.float32).reshape(rr * wp, -1)
-    acc_ref[:] = acc_ref[:] + jnp.dot(
-        lhs_all, vblk, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+        vblk = v_ref[0].astype(ct).reshape(rr * wp, -1)
+        # bf16 path: native bf16 MXU with f32 accumulation (HIGHEST would
+        # request a multi-pass f32 emulation Mosaic rejects for bf16 lhs)
+        prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+                else jax.lax.Precision.HIGHEST)
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            lhs_all, vblk, preferred_element_type=jnp.float32, precision=prec,
+        )
 
     @pl.when(rb == nrb - 1)
     def _fin():
         out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "interpret"))
-def _sample_level_pallas(value, y, x, attn, h: int, w: int, bq: int = 512,
-                         interpret: bool = False):
+def _row_block_flags(y_p, lq_blocks: int, bq: int, rr: int, nrb: int,
+                     transpose: bool = False):
+    """(BN, nqb, nrb) int32: 1 iff any query in the block has tent mass on
+    the row block (rows [r*rr, r*rr+rr), tent support (y-1, y+1))."""
+    bn = y_p.shape[0]
+    p = y_p.shape[-1]
+    yb = y_p.reshape(bn, lq_blocks, bq * p)
+    ymax = yb.max(axis=-1)                                  # (BN, nqb)
+    ymin = jnp.where(yb > -9.0, yb, jnp.inf).min(axis=-1)   # ignore padding
+    r0 = jnp.arange(nrb, dtype=jnp.float32) * rr            # (nrb,)
+    active = jnp.logical_and(
+        ymax[:, :, None] > r0[None, None, :] - 1.0,
+        ymin[:, :, None] < r0[None, None, :] + rr,
+    )
+    flags = active.astype(jnp.int32)
+    return jnp.swapaxes(flags, 1, 2) if transpose else flags
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret"))
+def _sample_level_pallas(value, y, x, attn, h: int, w: int, bq: int = 256,
+                         rr: int = 4, interpret: bool = False):
     """value: (BN, H*W, ch); y/x: (BN, Lq, P) pixel coords; attn (BN, Lq, P)
-    -> (BN, Lq, ch) float32 samples (attention-weighted, P-summed)."""
+    -> (BN, Lq, ch) float32 samples (attention-weighted, P-summed).
+
+    bf16 values select the bf16 compute path (tent weights + MXU operands in
+    bf16, f32 accumulation): ~2x VPU/MXU throughput at <0.5% weight error —
+    the AMP inference path.  f32 values keep the exact path (tests/train)."""
     bn, hw, ch = value.shape
     lq, p = y.shape[1], y.shape[2]
     wp = _round_up(w, 128)
     lqp = _round_up(lq, bq)
-    rr = 8  # feature rows per program
     hp = _round_up(h, rr)
+    ct = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
 
     v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
     v_pad = v_pad.at[:, :h, :w].set(value.reshape(bn, h, w, ch))
@@ -103,81 +139,87 @@ def _sample_level_pallas(value, y, x, attn, h: int, w: int, bq: int = 512,
     y_p = pad_q(y, -10.0)  # padding queries sample nothing (tent = 0)
     x_p = pad_q(x, -10.0)
     a_p = pad_q(attn, 0.0)
+    nrb = hp // rr
+    flags = _row_block_flags(y_p, lqp // bq, bq, rr, nrb)
 
     kern = functools.partial(
-        _level_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr
+        _level_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr, ct=ct
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bn, lqp // bq, nrb),
+        in_specs=[
+            pl.BlockSpec((1, bq, p), lambda b, q, r, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, q, r, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, q, r, f: (b, q, 0)),
+            pl.BlockSpec((1, rr, wp, ch), lambda b, q, r, f: (b, r, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, ch), lambda b, q, r, f: (b, q, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((p, bq, wp), ct),           # tx per point
+            pltpu.VMEM((bq, ch), jnp.float32),     # row accumulator
+        ],
     )
     out = pl.pallas_call(
         kern,
-        grid=(bn, lqp // bq, hp // rr),
-        in_specs=[
-            pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rr, wp, ch), lambda b, q, r: (b, r, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, bq, ch), lambda b, q, r: (b, q, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bn, lqp, ch), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((p, bq, wp), jnp.float32),  # tx per point
-            pltpu.VMEM((bq, ch), jnp.float32),     # row accumulator
-        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(y_p, x_p, a_p, v_pad)
+    )(flags, y_p, x_p, a_p, v_pad)
     return out[:, :lq]
 
 
-def _dvalue_kernel(y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
+def _dvalue_kernel(flags_ref, y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
                    *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
     """dV[j, c] = sum_q L[q, j] g[q, c] — grid (bn, row-block, q-block),
     accumulation over q-blocks (innermost)."""
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
     qb = pl.program_id(2)
     nqb = pl.num_programs(2)
-    rb = pl.program_id(1)
 
     @pl.when(qb == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
-    r0 = (rb * rr).astype(jnp.float32)
-    lhs_rows = []
-    for ri in range(rr):
-        rf = r0 + ri
-        lhs = jnp.zeros((bq, wp), jnp.float32)
-        for pi in range(p):
-            xq = x_ref[0, :, pi][:, None]
-            tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
-            tx = jnp.where(xj < w, tx, 0.0)
-            ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0, :, pi] - rf))
-            lhs = lhs + (a_ref[0, :, pi] * ty)[:, None] * tx
-        lhs_rows.append(lhs)
-    lhs_all = jnp.concatenate(lhs_rows, axis=1)           # (BQ, RR*WP)
+    @pl.when(flags_ref[b, rb, qb] > 0)
+    def _body():
+        xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+        r0 = (rb * rr).astype(jnp.float32)
+        lhs_rows = []
+        for ri in range(rr):
+            rf = r0 + ri
+            lhs = jnp.zeros((bq, wp), jnp.float32)
+            for pi in range(p):
+                xq = x_ref[0, :, pi][:, None]
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
+                tx = jnp.where(xj < w, tx, 0.0)
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0, :, pi] - rf))
+                lhs = lhs + (a_ref[0, :, pi] * ty)[:, None] * tx
+            lhs_rows.append(lhs)
+        lhs_all = jnp.concatenate(lhs_rows, axis=1)       # (BQ, RR*WP)
 
-    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
-    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-        lhs_all, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                                     # (RR*WP, ch)
+        g = g_ref[0].astype(jnp.float32)                  # (BQ, ch)
+        acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+            lhs_all, g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                 # (RR*WP, ch)
 
     @pl.when(qb == nqb - 1)
     def _fin():
         dv_ref[0] = acc_ref[:].reshape(dv_ref.shape[1:]).astype(dv_ref.dtype)
 
 
-def _dcoord_kernel(y_ref, x_ref, a_ref, g_ref, v_ref,
+def _dcoord_kernel(flags_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
                    da_ref, dy_ref, dx_ref, s_da, s_dy, s_dx,
                    *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
     """da/dy/dx via S[q, j] = V[j]·g[q] — grid (bn, q-block, row-block)."""
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
     rb = pl.program_id(2)
     nrb = pl.num_programs(2)
 
@@ -187,43 +229,45 @@ def _dcoord_kernel(y_ref, x_ref, a_ref, g_ref, v_ref,
         s_dy[:] = jnp.zeros_like(s_dy)
         s_dx[:] = jnp.zeros_like(s_dx)
 
-    vblk = v_ref[0].astype(jnp.float32).reshape(rr * wp, -1)
-    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
-    s = jax.lax.dot_general(
-        g, vblk, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    ).reshape(bq, rr, wp)                                 # (BQ, RR, WP)
+    @pl.when(flags_ref[b, qb, rb] > 0)
+    def _body():
+        vblk = v_ref[0].astype(jnp.float32).reshape(rr * wp, -1)
+        g = g_ref[0].astype(jnp.float32)                  # (BQ, ch)
+        s = jax.lax.dot_general(
+            g, vblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(bq, rr, wp)                             # (BQ, RR, WP)
 
-    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
-    r0 = (rb * rr).astype(jnp.float32)
-    for pi in range(p):
-        xq = x_ref[0, :, pi][:, None]
-        dxx = xq - xj
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(dxx))
-        inx = jnp.logical_and(jnp.abs(dxx) < 1.0, xj < w)
-        tx = jnp.where(xj < w, tx, 0.0)
-        txp = jnp.where(inx, -jnp.sign(dxx), 0.0)         # d tent / d x
-        aq = a_ref[0, :, pi]
-        da_acc = jnp.zeros((bq,), jnp.float32)
-        dy_acc = jnp.zeros((bq,), jnp.float32)
-        dx_acc = jnp.zeros((bq,), jnp.float32)
-        for ri in range(rr):
-            rf = r0 + ri
-            dyy = y_ref[0, :, pi] - rf
-            ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
-            typ = jnp.where(jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0)
-            sr = s[:, ri]                                 # (BQ, WP)
-            u = jnp.sum(tx * sr, axis=1)                  # (BQ,)
-            v2 = jnp.sum(txp * sr, axis=1)
-            da_acc = da_acc + ty * u
-            dy_acc = dy_acc + typ * u
-            dx_acc = dx_acc + ty * v2
-        # scratch is (P, BQ): full-row updates (column writes are awkward
-        # for Mosaic layouts)
-        s_da[pi] = s_da[pi] + da_acc
-        s_dy[pi] = s_dy[pi] + aq * dy_acc
-        s_dx[pi] = s_dx[pi] + aq * dx_acc
+        xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+        r0 = (rb * rr).astype(jnp.float32)
+        for pi in range(p):
+            xq = x_ref[0, :, pi][:, None]
+            dxx = xq - xj
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(dxx))
+            inx = jnp.logical_and(jnp.abs(dxx) < 1.0, xj < w)
+            tx = jnp.where(xj < w, tx, 0.0)
+            txp = jnp.where(inx, -jnp.sign(dxx), 0.0)     # d tent / d x
+            aq = a_ref[0, :, pi]
+            da_acc = jnp.zeros((bq,), jnp.float32)
+            dy_acc = jnp.zeros((bq,), jnp.float32)
+            dx_acc = jnp.zeros((bq,), jnp.float32)
+            for ri in range(rr):
+                rf = r0 + ri
+                dyy = y_ref[0, :, pi] - rf
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+                typ = jnp.where(jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0)
+                sr = s[:, ri]                             # (BQ, WP)
+                u = jnp.sum(tx * sr, axis=1)              # (BQ,)
+                v2 = jnp.sum(txp * sr, axis=1)
+                da_acc = da_acc + ty * u
+                dy_acc = dy_acc + typ * u
+                dx_acc = dx_acc + ty * v2
+            # scratch is (P, BQ): full-row updates (column writes are
+            # awkward for Mosaic layouts)
+            s_da[pi] = s_da[pi] + da_acc
+            s_dy[pi] = s_dy[pi] + aq * dy_acc
+            s_dx[pi] = s_dx[pi] + aq * dx_acc
 
     @pl.when(rb == nrb - 1)
     def _fin():
@@ -232,16 +276,16 @@ def _dcoord_kernel(y_ref, x_ref, a_ref, g_ref, v_ref,
         dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "interpret"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret"))
 def _sample_level_pallas_bwd(value, y, x, attn, g, h: int, w: int,
-                             bq: int = 512, interpret: bool = False):
+                             bq: int = 256, rr: int = 4,
+                             interpret: bool = False):
     """Backward of ``_sample_level_pallas``: returns (dvalue (BN, H*W, ch),
     dy, dx, dattn each (BN, Lq, P)) given g (BN, Lq, ch) float32."""
     bn, hw, ch = value.shape
     lq, p = y.shape[1], y.shape[2]
     wp = _round_up(w, 128)
     lqp = _round_up(lq, bq)
-    rr = 8
     hp = _round_up(h, rr)
 
     v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
@@ -256,61 +300,64 @@ def _sample_level_pallas_bwd(value, y, x, attn, g, h: int, w: int,
     a_p = pad_q(attn, 0.0)
     g_p = jnp.zeros((bn, lqp, ch), jnp.float32)
     g_p = g_p.at[:, :lq].set(g.astype(jnp.float32))
+    nrb = hp // rr
+    nqb = lqp // bq
+    flags = _row_block_flags(y_p, nqb, bq, rr, nrb)          # (BN, nqb, nrb)
+    flags_t = jnp.swapaxes(flags, 1, 2)                      # (BN, nrb, nqb)
 
     coord_specs = [
-        pl.BlockSpec((1, bq, p), lambda b, q, r: (b, q, 0),
-                     memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, bq, p), lambda b, q, r, f: (b, q, 0))
         for _ in range(3)
     ]
 
+    dv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bn, nrb, nqb),
+        in_specs=[
+            pl.BlockSpec((1, bq, p), lambda b, r, q, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, r, q, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, r, q, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, ch), lambda b, r, q, f: (b, q, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rr, wp, ch), lambda b, r, q, f: (b, r, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((rr * wp, ch), jnp.float32)],
+    )
     dv = pl.pallas_call(
         functools.partial(_dvalue_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr),
-        grid=(bn, hp // rr, lqp // bq),
-        in_specs=[
-            pl.BlockSpec((1, bq, p), lambda b, r, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, p), lambda b, r, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, p), lambda b, r, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, ch), lambda b, r, q: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, rr, wp, ch), lambda b, r, q: (b, r, 0, 0),
-                               memory_space=pltpu.VMEM),
+        grid_spec=dv_grid,
         out_shape=jax.ShapeDtypeStruct((bn, hp, wp, ch), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((rr * wp, ch), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(y_p, x_p, a_p, g_p)
+    )(flags_t, y_p, x_p, a_p, g_p)
     dvalue = dv[:, :h, :w].reshape(bn, hw, ch)
 
-    da, dy, dx = pl.pallas_call(
-        functools.partial(_dcoord_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr),
-        grid=(bn, lqp // bq, hp // rr),
+    dc_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bn, nqb, nrb),
         in_specs=coord_specs + [
-            pl.BlockSpec((1, bq, ch), lambda b, q, r: (b, q, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rr, wp, ch), lambda b, q, r: (b, r, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, ch), lambda b, q, r, f: (b, q, 0)),
+            pl.BlockSpec((1, rr, wp, ch), lambda b, q, r, f: (b, r, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, p, bq), lambda b, q, r: (b, 0, q),
-                         memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, p, bq), lambda b, q, r, f: (b, 0, q))
             for _ in range(3)
         ],
+        scratch_shapes=[pltpu.VMEM((p, bq), jnp.float32) for _ in range(3)],
+    )
+    da, dy, dx = pl.pallas_call(
+        functools.partial(_dcoord_kernel, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr),
+        grid_spec=dc_grid,
         out_shape=[
             jax.ShapeDtypeStruct((bn, p, lqp), jnp.float32)
             for _ in range(3)
         ],
-        scratch_shapes=[pltpu.VMEM((p, bq), jnp.float32) for _ in range(3)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(y_p, x_p, a_p, g_p, v_pad)
+    )(flags, y_p, x_p, a_p, g_p, v_pad)
     # outputs are (BN, P, LQP): transpose back
     da = jnp.swapaxes(da, 1, 2)[:, :lq]
     dy = jnp.swapaxes(dy, 1, 2)[:, :lq]

@@ -25,12 +25,13 @@ def test_mask_square_boxes():
     np.testing.assert_allclose(np.asarray(boxes[0]), [10, 4, 30, 24])
 
 
-def test_roi_crop_identity():
-    rng = np.random.RandomState(0)
-    img = rng.randn(1, 16, 16, 3).astype(np.float32)
+def test_roi_crop_constant_preserved():
+    # aligned=False roi_align is not an exact identity on the full box (it
+    # samples at half-integer coordinates), but it must preserve constants
+    img = np.full((1, 16, 16, 3), 3.5, np.float32)
     boxes = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])
     out = roi_crop(jnp.asarray(img), boxes, 16)
-    np.testing.assert_allclose(np.asarray(out), img, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), img, rtol=1e-6)
 
 
 def test_roi_crop_matches_torch_roi_align():
@@ -47,6 +48,49 @@ def test_roi_crop_matches_torch_roi_align():
     ref = roi_align(t_img, t_box, output_size=(8, 8), sampling_ratio=1)
     ref = ref.numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def _np_roi_align(img, box, out):
+    """Pure-numpy torchvision roi_align(aligned=False, sampling_ratio=1)
+    oracle — transcribed from the documented CUDA bilinear_interpolate
+    semantics so the parity check runs even without torchvision (which is
+    absent in this container; the torch test above importorskips)."""
+    h, w, c = img.shape
+    x0, y0, x1, y1 = box
+    bh = (y1 - y0) / out
+    bw = (x1 - x0) / out
+    res = np.zeros((out, out, c), np.float32)
+    for i in range(out):
+        for j in range(out):
+            y = y0 + (i + 0.5) * bh
+            x = x0 + (j + 0.5) * bw
+            if y < -1.0 or y > h or x < -1.0 or x > w:
+                continue
+            y = min(max(y, 0.0), h - 1)
+            x = min(max(x, 0.0), w - 1)
+            yl, xl = int(y), int(x)
+            yh = min(yl + 1, h - 1)
+            xh = min(xl + 1, w - 1)
+            ly, lx = y - yl, x - xl
+            res[i, j] = (
+                (1 - ly) * (1 - lx) * img[yl, xl]
+                + (1 - ly) * lx * img[yl, xh]
+                + ly * (1 - lx) * img[yh, xl]
+                + ly * lx * img[yh, xh]
+            )
+    return res
+
+
+def test_roi_crop_matches_numpy_oracle():
+    rng = np.random.RandomState(1)
+    img = rng.randn(1, 24, 36, 3).astype(np.float32)
+    for box in ([4.0, 2.0, 28.0, 20.0],      # partially out of bounds (x)
+                [0.0, 0.0, 36.0, 24.0],      # full image
+                [10.5, 3.25, 19.5, 12.25],   # fractional interior
+                [-6.0, -4.0, 10.0, 12.0]):   # out of bounds (negative)
+        ours = np.asarray(roi_crop(jnp.asarray(img), jnp.asarray([box]), 8))
+        ref = _np_roi_align(img[0], box, 8)
+        np.testing.assert_allclose(ours[0], ref, rtol=1e-4, atol=1e-5)
 
 
 def test_clip_crop_classify_shapes_and_validity():

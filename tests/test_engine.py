@@ -48,7 +48,10 @@ def _cfg(root):
     ds = dataclasses.replace(
         cfg.datasets, root=root, test=("synth_eval",)
     )
-    return dataclasses.replace(cfg, model=m, input=inp, datasets=ds)
+    return dataclasses.replace(
+        cfg, model=m, input=inp, datasets=ds,
+        output_dir=os.path.join(root, "out"),
+    )
 
 
 @pytest.fixture()
@@ -136,7 +139,10 @@ def test_merge_pretrained_partial():
     np.testing.assert_array_equal(out["other"]["c"], np.ones(1))
 
 
-def test_brivis_single_shot_eval(synth_root):
+def test_brivis_windowed_eval_no_truncation(synth_root):
+    """BriVIS long-video path: per-frame stack in windows + full-sequence
+    resampler.  max_frames(4) << video length(10); every frame must still
+    contribute (the round-1 single-shot path truncated at max_frames)."""
     import dataclasses
 
     from tests.test_brivis import brivis_tiny_config
@@ -147,7 +153,9 @@ def test_brivis_single_shot_eval(synth_root):
         model=dataclasses.replace(
             cfg.model,
             num_classes=K,
-            test=dataclasses.replace(cfg.model.test, max_frames=16),
+            test=dataclasses.replace(
+                cfg.model.test, max_frames=4, window_size=4
+            ),
         ),
         input=dataclasses.replace(
             cfg.input, min_size_test=48, max_size_test=96, pad_size=(64, 96),
@@ -156,6 +164,7 @@ def test_brivis_single_shot_eval(synth_root):
         datasets=dataclasses.replace(
             cfg.datasets, root=synth_root, test=("synth_eval",)
         ),
+        output_dir=os.path.join(synth_root, "out_brivis"),
     )
     rng = np.random.RandomState(0)
     text = rng.randn(K, D).astype(np.float32)
@@ -167,6 +176,12 @@ def test_brivis_single_shot_eval(synth_root):
     model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
     metrics = evaluate_dataset(cfg, model, params, "synth_eval", text)
     assert "AP" in metrics
+    preds = json.load(open(
+        os.path.join(cfg.output_dir, "results_synth_eval.json")
+    ))
+    assert preds, "windowed BriVIS eval produced no predictions"
+    for p in preds:
+        assert len(p["segmentations"]) == 10  # all frames, not max_frames
 
 
 def test_ov2seg_windowed_eval(synth_root):
@@ -190,6 +205,110 @@ def test_ov2seg_windowed_eval(synth_root):
     model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
     metrics = evaluate_dataset(cfg, model, params, "synth_eval", text)
     assert "AP" in metrics
+
+
+@pytest.fixture()
+def synth_burst_root(tmp_path):
+    """Synthetic BURST-format (TAO) dataset: one sequence, two LVIS-id
+    tracks (mirrors /root/reference/openvis/data/datasets/burst.py:538-583
+    sequence schema)."""
+    root = str(tmp_path)
+    h, w, t = 48, 64, 6
+    img_dir = tmp_path / "frames" / "val" / "YFCC100M" / "seq_a"
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    paths = []
+    for f in range(t):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            img_dir / f"frame{f:04d}.jpg"
+        )
+        paths.append(f"frame{f:04d}.jpg")
+    segmentations = []
+    for f in range(t):
+        m1 = np.zeros((h, w), np.uint8)
+        m1[10:25, 10 + f : 30 + f] = 1
+        m2 = np.zeros((h, w), np.uint8)
+        m2[30:44, 2:20] = 1
+        segmentations.append({
+            "1": {"rle": rle.encode(m1)["counts"]},
+            "2": {"rle": rle.encode(m2)["counts"]},
+        })
+    js = {"sequences": [{
+        "id": 1, "width": w, "height": h, "seq_name": "seq_a",
+        "dataset": "YFCC100M", "annotated_image_paths": paths,
+        "segmentations": segmentations,
+        "track_category_ids": {"1": 5, "2": 7},  # fake LVIS ids
+    }]}
+    with open(tmp_path / "burst_val.json", "w") as f:
+        json.dump(js, f)
+    catalog.register(catalog.DatasetInfo(
+        name="synth_burst", image_root="frames/val",
+        json_file="burst_val.json", thing_classes=("c1", "c2"),
+        id_map={5: 0, 7: 1}, kind="burst", eval_type="burst",
+    ))
+    return root
+
+
+def test_burst_eval_end_to_end(synth_burst_root):
+    """--eval-only on a burst dataset must produce HOTA + TrackMAP metrics
+    (reference Trainer.build_evaluator dispatch, train_net.py:78-88)."""
+    cfg = _cfg(synth_burst_root)
+    cfg = dataclasses.replace(
+        cfg, datasets=dataclasses.replace(
+            cfg.datasets, root=synth_burst_root, test=("synth_burst",)
+        ),
+        output_dir=os.path.join(synth_burst_root, "out"),
+    )
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 2, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+    metrics = evaluate_dataset(cfg, model, params, "synth_burst", text)
+    assert {"HOTA", "DetA", "AssA", "mAP"} <= set(metrics)
+    for v in metrics.values():
+        assert np.isfinite(v)
+    # predictions dumped for offline scoring
+    res = os.path.join(synth_burst_root, "out", "results_synth_burst.json")
+    assert os.path.exists(res)
+    preds = json.load(open(res))
+    assert all(p["category_id"] in (5, 7) for p in preds)
+
+
+def test_openvis_windowed_eval_clip_scoring(synth_root):
+    """OpenVISOnline eval: class-agnostic proposals + chunked mask-crop CLIP
+    classification (openvis.py:110-147) — the clip-score branch replaces the
+    generic postprocess entirely."""
+    cfg = _cfg(synth_root)
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, meta_architecture="OpenVISOnline",
+            transformer_decoder=dataclasses.replace(
+                cfg.model.transformer_decoder, name="frame_proposal",
+            ),
+        ),
+    )
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 2, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+
+    def fake_clip_visual(imgs):  # (R, S, S, 3) -> (R, D)
+        return imgs.mean(axis=(1, 2)) @ jnp.ones((3, D))
+
+    metrics = evaluate_dataset(
+        cfg, model, params, "synth_eval", text,
+        clip_visual_apply=fake_clip_visual,
+    )
+    assert "AP" in metrics and np.isfinite(metrics["AP"])
 
 
 def test_clip_ensemble_combination():

@@ -1,0 +1,246 @@
+"""Golden-trace parity vs PyTorch re-typings of the reference modules.
+
+The reference stack (torch + detectron2) can't be imported here (no
+detectron2 in the container), so each test re-types the reference module
+minimally in torch — mirroring the cited reference code line-for-line in
+BEHAVIOR (not source) — loads OUR initialized params into it, and asserts
+the JAX forward matches:
+
+  * decoder layer = masked cross-attention -> self-attention -> FFN
+    (``video_mask2former_transformer_decoder.py:29-200``, post-norm);
+  * biased CLIP residual block (``side_adapter.py:70``'s
+    BiasedResidualAttentionBlock — torch nn.MultiheadAttention with a float
+    additive attn_mask + QuickGELU MLP);
+  * Hungarian matcher costs + assignment (``matcher.py:16-136``): shared
+    sampled points, batch sigmoid-CE/dice costs, scipy assignment.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from openvis_tpu.models.transformer_decoder import (
+    CrossAttentionLayer,
+    FFNLayer,
+    SelfAttentionLayer,
+)
+
+D, H = 32, 4
+
+
+def _t(x):
+    return torch.from_numpy(np.asarray(x, np.float32))
+
+
+def _copy_mha(p, mha):
+    """Our split q/k/v/out projections -> torch packed in_proj."""
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(_t(np.concatenate([
+            np.asarray(p["q_proj"]["kernel"]).T,
+            np.asarray(p["k_proj"]["kernel"]).T,
+            np.asarray(p["v_proj"]["kernel"]).T,
+        ], axis=0)))
+        mha.in_proj_bias.copy_(_t(np.concatenate([
+            np.asarray(p["q_proj"]["bias"]),
+            np.asarray(p["k_proj"]["bias"]),
+            np.asarray(p["v_proj"]["bias"]),
+        ])))
+        mha.out_proj.weight.copy_(_t(np.asarray(p["out_proj"]["kernel"]).T))
+        mha.out_proj.bias.copy_(_t(np.asarray(p["out_proj"]["bias"])))
+
+
+def _copy_ln(p, ln):
+    with torch.no_grad():
+        ln.weight.copy_(_t(p["scale"]))
+        ln.bias.copy_(_t(p["bias"]))
+
+
+def _copy_linear(p, lin):
+    with torch.no_grad():
+        lin.weight.copy_(_t(np.asarray(p["kernel"]).T))
+        lin.bias.copy_(_t(p["bias"]))
+
+
+def test_decoder_layer_matches_torch():
+    """One full decoder layer (masked cross-attn -> self-attn -> FFN,
+    post-norm) vs the re-typed reference layer stack
+    (video_mask2former_transformer_decoder.py:29-200)."""
+    rng = np.random.RandomState(0)
+    b, q, lk = 2, 6, 20
+    tgt = rng.randn(b, q, D).astype(np.float32)
+    mem = rng.randn(b, lk, D).astype(np.float32)
+    pos = rng.randn(1, lk, D).astype(np.float32)
+    qpos = rng.randn(1, q, D).astype(np.float32)
+    # boolean disallowed mask with at least one allowed key per query
+    disallow = rng.rand(b, q, lk) < 0.4
+    disallow[..., 0] = False
+    bias = np.where(disallow, -1e9, 0.0).astype(np.float32)[:, None]
+
+    ca = CrossAttentionLayer(D, H)
+    sa = SelfAttentionLayer(D, H)
+    ff = FFNLayer(D, 64)
+    pc = ca.init(jax.random.PRNGKey(0), jnp.asarray(tgt), jnp.asarray(mem),
+                 jnp.asarray(pos), jnp.asarray(qpos))["params"]
+    x1 = ca.apply({"params": pc}, jnp.asarray(tgt), jnp.asarray(mem),
+                  jnp.asarray(pos), jnp.asarray(qpos), jnp.asarray(bias))
+    ps = sa.init(jax.random.PRNGKey(1), x1, jnp.asarray(qpos))["params"]
+    x2 = sa.apply({"params": ps}, x1, jnp.asarray(qpos))
+    pf = ff.init(jax.random.PRNGKey(2), x2)["params"]
+    ours = np.asarray(ff.apply({"params": pf}, x2))
+
+    # --- torch re-typing (reference forward_post paths) ---
+    mha_c = torch.nn.MultiheadAttention(D, H)
+    norm_c = torch.nn.LayerNorm(D)
+    _copy_mha(pc["multihead_attn"], mha_c)
+    _copy_ln(pc["norm"], norm_c)
+    mha_s = torch.nn.MultiheadAttention(D, H)
+    norm_s = torch.nn.LayerNorm(D)
+    _copy_mha(ps["self_attn"], mha_s)
+    _copy_ln(ps["norm"], norm_s)
+    lin1 = torch.nn.Linear(D, 64)
+    lin2 = torch.nn.Linear(64, D)
+    norm_f = torch.nn.LayerNorm(D)
+    _copy_linear(pf["linear1"], lin1)
+    _copy_linear(pf["linear2"], lin2)
+    _copy_ln(pf["norm"], norm_f)
+
+    with torch.no_grad():
+        t_tgt = _t(tgt).transpose(0, 1)     # (L, B, C) torch layout
+        t_mem = _t(mem).transpose(0, 1)
+        t_pos = _t(np.broadcast_to(pos, (b, lk, D))).transpose(0, 1)
+        t_qp = _t(np.broadcast_to(qpos, (b, q, D))).transpose(0, 1)
+        # float additive mask per head: (B*H, Q, K)
+        t_mask = _t(np.repeat(bias, H, axis=1).reshape(b * H, q, lk))
+        y = mha_c(t_tgt + t_qp, t_mem + t_pos, t_mem, attn_mask=t_mask,
+                  need_weights=False)[0]
+        x = norm_c(t_tgt + y)                              # cross, post-norm
+        y = mha_s(x + t_qp, x + t_qp, x, need_weights=False)[0]
+        x = norm_s(x + y)                                  # self, post-norm
+        y = lin2(torch.relu(lin1(x)))
+        x = norm_f(x + y)                                  # FFN, post-norm
+        theirs = x.transpose(0, 1).numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_biased_clip_block_matches_torch():
+    """CLIP residual block with per-head additive attention bias — the SAN
+    post_encode building block (side_adapter.py:70 BiasedResidualAttention
+    Block; vendored CLIP model.py ResidualAttentionBlock semantics)."""
+    from openvis_tpu.models.clip.model import ResidualAttentionBlock
+
+    rng = np.random.RandomState(1)
+    b, l = 2, 10
+    x = rng.randn(b, l, D).astype(np.float32)
+    bias = (rng.randn(b, H, l, l) * 2).astype(np.float32)
+
+    blk = ResidualAttentionBlock(D, H)
+    p = blk.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                 attn_bias=jnp.asarray(bias))["params"]
+    ours = np.asarray(blk.apply({"params": p}, jnp.asarray(x),
+                                attn_bias=jnp.asarray(bias)))
+
+    mha = torch.nn.MultiheadAttention(D, H)
+    ln1 = torch.nn.LayerNorm(D)
+    ln2 = torch.nn.LayerNorm(D)
+    c_fc = torch.nn.Linear(D, 4 * D)
+    c_proj = torch.nn.Linear(4 * D, D)
+    _copy_mha(p["attn"], mha)
+    _copy_ln(p["ln_1"]["ln"], ln1)  # LayerNormF32 wraps an inner "ln"
+    _copy_ln(p["ln_2"]["ln"], ln2)
+    _copy_linear(p["mlp_c_fc"], c_fc)
+    _copy_linear(p["mlp_c_proj"], c_proj)
+
+    with torch.no_grad():
+        t_x = _t(x).transpose(0, 1)                        # (L, B, D)
+        t_bias = _t(bias.reshape(b * H, l, l))
+        y = ln1(t_x)
+        t_x = t_x + mha(y, y, y, attn_mask=t_bias, need_weights=False)[0]
+        y = ln2(t_x)
+        h = c_fc(y)
+        t_x = t_x + c_proj(h * torch.sigmoid(1.702 * h))   # QuickGELU
+        theirs = t_x.transpose(0, 1).numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_matcher_costs_and_assignment_match_torch():
+    """Hungarian matcher parity: identical shared sampled points through the
+    re-typed reference cost pipeline (matcher.py:16-58 batch dice/CE,
+    :110-136 cost assembly + scipy assignment) vs our fused on-device
+    match()."""
+    import torch.nn.functional as F
+    from scipy.optimize import linear_sum_assignment
+
+    from openvis_tpu.losses.criterion import (
+        CriterionSettings,
+        match,
+        match_costs,
+    )
+    from openvis_tpu.structures import ClipTargets
+
+    rng = np.random.RandomState(2)
+    b, q, n, t, h, w = 2, 6, 3, 2, 16, 16
+    k = 5
+    p = 64
+    logits = rng.randn(b, q, k + 1).astype(np.float32)
+    masks = (rng.randn(b, q, t, h, w) * 2).astype(np.float32)
+    tmask = (rng.rand(b, n, t, h, w) > 0.6).astype(np.float32)
+    labels = rng.randint(0, k, (b, n)).astype(np.int32)
+    targets = ClipTargets(
+        labels=jnp.asarray(labels), masks=jnp.asarray(tmask),
+        valid=jnp.ones((b, n), bool),
+        frame_valid=jnp.ones((b, n, t), bool),
+    )
+    s = CriterionSettings(num_classes=k, num_points=p)
+    key = jax.random.PRNGKey(3)
+    cost = np.asarray(match_costs(key, jnp.asarray(logits),
+                                  jnp.asarray(masks), targets, s))
+    assignment = np.asarray(match(key, jnp.asarray(logits),
+                                  jnp.asarray(masks), targets, s))
+
+    # identical shared points (replicates match_costs's internal draw)
+    coords = np.asarray(jax.random.uniform(key, (b, p, 2), dtype=jnp.float32))
+
+    def t_point_sample(maps, pts):
+        # maps (R, T, H, W); pts (R, P, 2) in [0,1] xy -> (R, T*P)
+        g = torch.from_numpy(pts)[:, None] * 2 - 1        # (R,1,P,2)
+        out = F.grid_sample(torch.from_numpy(maps), g, align_corners=False)
+        return out[:, :, 0].flatten(1)                    # (R, T*P)
+
+    for bi in range(b):
+        out_prob = torch.from_numpy(logits[bi]).softmax(-1)
+        cost_class = -out_prob[:, labels[bi]]              # (Q, N)
+        pts = np.broadcast_to(coords[bi], (q, p, 2)).copy()
+        out_pts = t_point_sample(masks[bi], pts)           # (Q, T*P)
+        tgt_pts = t_point_sample(
+            tmask[bi], np.broadcast_to(coords[bi], (n, p, 2)).copy()
+        )                                                  # (N, T*P)
+        hw = out_pts.shape[1]
+        # batch_sigmoid_ce_loss (matcher.py:37-58)
+        pos = F.binary_cross_entropy_with_logits(
+            out_pts, torch.ones_like(out_pts), reduction="none")
+        neg = F.binary_cross_entropy_with_logits(
+            out_pts, torch.zeros_like(out_pts), reduction="none")
+        cost_mask = (
+            torch.einsum("nc,mc->nm", pos, tgt_pts)
+            + torch.einsum("nc,mc->nm", neg, 1 - tgt_pts)
+        ) / hw
+        # batch_dice_loss (matcher.py:16-31)
+        sig = out_pts.sigmoid()
+        numer = 2 * torch.einsum("nc,mc->nm", sig, tgt_pts)
+        denom = sig.sum(-1)[:, None] + tgt_pts.sum(-1)[None, :]
+        cost_dice = 1 - (numer + 1) / (denom + 1)
+        C = (s.mask_weight * cost_mask + s.class_weight * cost_class
+             + s.dice_weight * cost_dice).numpy()          # (Q, N)
+
+        np.testing.assert_allclose(cost[bi], C.T, rtol=1e-4, atol=1e-4)
+        ri, ci = linear_sum_assignment(C)
+        # scipy rows=queries, cols=targets; ours: query per target slot
+        want = np.zeros(n, np.int64)
+        want[ci] = ri
+        np.testing.assert_array_equal(assignment[bi], want)

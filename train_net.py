@@ -69,7 +69,7 @@ def main():
     logging.basicConfig(level=logging.INFO)
 
     from openvis_tpu.checkpoint import (
-        latest_step,
+        load_params_from_checkpoint,
         merge_pretrained,
         restore_checkpoint,
         save_checkpoint,
@@ -117,8 +117,23 @@ def main():
         sample["text_feats"] = jnp.asarray(text_feats)
     model, params = init_model(cfg, jax.random.PRNGKey(cfg.seed), sample)
 
-    # pretrained init (msgpack from tools/convert_weights.py)
-    if cfg.model.weights and os.path.exists(cfg.model.weights):
+    # pretrained init: either a converted msgpack (tools/convert_weights.py)
+    # or a stage-1 checkpoint DIRECTORY for cross-arch surgery — BriVIS
+    # stage 2 grafts the SAN checkpoint's segmenter + clip_adapter onto its
+    # fresh init (reference brivis_R50_bs16_6000st.yaml:3, train_net.py:290)
+    if cfg.model.weights and os.path.isdir(cfg.model.weights):
+        pre = load_params_from_checkpoint(cfg.model.weights)
+        if pre is None:
+            raise SystemExit(
+                f"model.weights dir {cfg.model.weights} has no checkpoint"
+            )
+        graft = {k: v for k, v in pre.items() if k in params}
+        params = merge_pretrained(params, graft)
+        logger.info(
+            "grafted stage-1 subtrees %s from checkpoint %s",
+            sorted(graft), cfg.model.weights,
+        )
+    elif cfg.model.weights and os.path.exists(cfg.model.weights):
         from tools.convert_weights import load_msgpack
 
         pre = load_msgpack(cfg.model.weights)
