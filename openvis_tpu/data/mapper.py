@@ -208,7 +208,7 @@ class YTVISClipMapper:
             sizes,
             inp.max_size_train if is_train else inp.max_size_test,
             flip=is_train and inp.random_flip != "none",
-            rotation="rotation" in inp.augmentations,
+            augmentations=inp.augmentations,
             is_train=is_train,
             crop=is_train and inp.crop_enabled,
             crop_type=inp.crop_type,
@@ -291,7 +291,7 @@ class CocoClipMapper:
             inp.pseudo_min_size_train,
             inp.pseudo_max_size_train,
             flip=inp.random_flip != "none",
-            rotation="rotation" in inp.pseudo_augmentations,
+            augmentations=inp.pseudo_augmentations,
             is_train=True,
         )
 

@@ -65,32 +65,65 @@ def rotate_frame(
     return np.asarray(out)
 
 
+def _blend(img: np.ndarray, src, w: float) -> np.ndarray:
+    """d2 BlendTransform: ``src*(1-w) + img*w`` clipped to uint8."""
+    out = src * (1.0 - w) + img.astype(np.float32) * w
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def color_jitter(
+    rng: np.random.RandomState, img: np.ndarray, kinds: Sequence[str],
+    lo: float = 0.9, hi: float = 1.1,
+) -> np.ndarray:
+    """d2 RandomBrightness/Contrast/Saturation(0.9, 1.1), applied in the
+    reference's build order (augmentation.py:356-361).  Draws are per FRAME
+    (the reference appends plain per-call ``T.Random*`` transforms)."""
+    if "brightness" in kinds:
+        img = _blend(img, 0.0, rng.uniform(lo, hi))
+    if "contrast" in kinds:
+        img = _blend(img, img.astype(np.float32).mean(), rng.uniform(lo, hi))
+    if "saturation" in kinds:
+        gray = img.astype(np.float32) @ np.asarray([0.299, 0.587, 0.114])
+        img = _blend(img, gray[:, :, None], rng.uniform(lo, hi))
+    return img
+
+
 class ClipAugmenter:
     """Samples one set of random draws per clip and applies them to every
-    frame (+ masks).  ``pseudo=True`` adds the per-frame rotation jitter the
-    COCO pseudo-video mapper uses (``augmentation.py:95-116``)."""
+    frame (+ masks), in the reference's composition order
+    (``build_augmentation``, augmentation.py:315-377):
+
+      RandomApply(0.5)[resize {400,500,600} + crop] -> resize (choice by
+      clip) -> flip (by clip) -> brightness/contrast/saturation (per frame)
+      -> rotation (by clip; per-frame jitter for COCO pseudo-clips).
+    """
 
     def __init__(
         self,
         min_sizes: Sequence[int],
         max_size: int,
         flip: bool = True,
-        rotation: bool = False,
+        augmentations: Sequence[str] = (),
         rotation_range: Tuple[float, float] = (-15.0, 15.0),
         is_train: bool = True,
         crop: bool = False,
         crop_type: str = "absolute_range",
         crop_size: Tuple[int, int] = (600, 720),
+        crop_prob: float = 0.5,
+        crop_pre_sizes: Sequence[int] = (400, 500, 600),
     ):
         self.min_sizes = list(min_sizes)
         self.max_size = max_size
         self.flip = flip
-        self.rotation = rotation
+        self.augmentations = tuple(augmentations)
+        self.rotation = "rotation" in self.augmentations
         self.rotation_range = rotation_range
         self.is_train = is_train
         self.crop = crop
         self.crop_type = crop_type
         self.crop_size = tuple(crop_size)
+        self.crop_prob = crop_prob
+        self.crop_pre_sizes = list(crop_pre_sizes)
 
     def _crop_box(self, rng, h: int, w: int) -> Tuple[int, int, int, int]:
         """Clip-consistent crop box (RandomCropClip, augmentation.py:214-227;
@@ -116,12 +149,30 @@ class ClipAugmenter:
         per_frame_rotation: bool = False,
     ):
         h, w = frames[0].shape[:2]
+
+        # 1. RandomApply(0.5)[pre-resize {400,500,600} + crop], by clip
+        #    (augmentation.py:326-333)
+        pre_size = None
+        crop_box = None
+        if self.crop and self.is_train and rng.rand() < self.crop_prob:
+            pre_short = self.crop_pre_sizes[
+                rng.randint(len(self.crop_pre_sizes))
+            ]
+            pre_size = resize_shortest_edge_size(h, w, pre_short, 1333)
+            crop_box = self._crop_box(rng, pre_size[0], pre_size[1])
+            h, w = crop_box[2], crop_box[3]
+
+        # 2. main resize, choice by clip
         if self.is_train:
             short = self.min_sizes[rng.randint(len(self.min_sizes))]
         else:
             short = self.min_sizes[0]
         size = resize_shortest_edge_size(h, w, short, self.max_size)
+
+        # 3. flip by clip
         do_flip = self.is_train and self.flip and rng.rand() < 0.5
+
+        # 5. rotation base draw, by clip (RandomRotationClip)
         if self.rotation and self.is_train:
             base_angle = rng.uniform(*self.rotation_range)
             cx = rng.uniform(0.4, 0.6)
@@ -130,40 +181,43 @@ class ClipAugmenter:
             base_angle = 0.0
             cx = cy = 0.5
 
-        # clip-consistent crop, sampled once in RESIZED coordinates
-        rsize = size
-        crop_box = None
-        if self.crop and self.is_train:
-            crop_box = self._crop_box(rng, rsize[0], rsize[1])
-            size = (crop_box[2], crop_box[3])
+        color_kinds = tuple(
+            k for k in ("brightness", "contrast", "saturation")
+            if k in self.augmentations
+        ) if self.is_train else ()
 
         out_frames, out_masks = [], []
         for fi, frame in enumerate(frames):
+            # per-frame draws happen in a fixed order regardless of masks
             angle = base_angle
             if per_frame_rotation and self.rotation and self.is_train:
                 angle = base_angle + rng.uniform(-2.0, 2.0)
             f = frame
-            if angle != 0.0:
-                f = rotate_frame(f, angle, (cx, cy))
-            f = resize_frame(f, rsize)
-            if crop_box is not None:
+            if pre_size is not None:
                 y0, x0, ch, cw = crop_box
-                f = f[y0 : y0 + ch, x0 : x0 + cw]
+                f = resize_frame(f, pre_size)[y0 : y0 + ch, x0 : x0 + cw]
+            f = resize_frame(f, size)
             if do_flip:
                 f = hflip_frame(f)
+            if color_kinds:  # 4. per-frame color jitter
+                f = color_jitter(rng, f, color_kinds)
+            if angle != 0.0:
+                f = rotate_frame(f, angle, (cx, cy))
             out_frames.append(f)
             if masks_per_frame is not None:
                 ms = []
                 for m in masks_per_frame[fi]:
                     mm = m
-                    if angle != 0.0:
-                        mm = rotate_frame(mm, angle, (cx, cy), Image.NEAREST)
-                    mm = resize_mask(mm, rsize)
-                    if crop_box is not None:
+                    if pre_size is not None:
                         y0, x0, ch, cw = crop_box
-                        mm = mm[y0 : y0 + ch, x0 : x0 + cw]
+                        mm = resize_mask(mm, pre_size)[
+                            y0 : y0 + ch, x0 : x0 + cw
+                        ]
+                    mm = resize_mask(mm, size)
                     if do_flip:
                         mm = mm[:, ::-1]
+                    if angle != 0.0:
+                        mm = rotate_frame(mm, angle, (cx, cy), Image.NEAREST)
                     ms.append(mm)
                 out_masks.append(ms)
         return out_frames, (out_masks if masks_per_frame is not None else None), size

@@ -63,16 +63,19 @@ def _emit(evaluator, video_id, topk_np, image_size, orig_size):
 
 
 def make_window_fn(cfg: Config, model):
-    """f(params, frames (W,H,Wd,3), text) -> per-window raw outputs."""
+    """f(params, frames (G*W,H,Wd,3), text) -> per-window raw outputs with a
+    leading window-batch axis G.  G > 1 is the eval-time mesh-sharding path
+    (SURVEY §2.6): the per-frame stack is embarrassingly parallel over
+    windows, so a group of G windows runs as one data-parallel batch."""
     arch = cfg.model.meta_architecture
+    window = cfg.model.test.window_size
 
     def fn(params, frames, text_feats):
-        w = frames.shape[0]
-        out = model.apply({"params": params}, frames, w, text_feats)
+        out = model.apply({"params": params}, frames, window, text_feats)
         res = {
-            "logits": out.get("pred_logits"),   # (1, W, Q, C)
-            "masks": out["pred_masks"],         # (1, Q, W, h, w)
-            "embeds": out.get("pred_embeds"),   # (1, W, Q, C)
+            "logits": out.get("pred_logits"),   # (G, W, Q, C)
+            "masks": out["pred_masks"],         # (G, Q, W, h, w)
+            "embeds": out.get("pred_embeds"),   # (G, W, Q, C)
         }
         if arch.startswith("OV2Seg"):
             res["obj_logits"] = out["pred_object_logits"]
@@ -206,6 +209,7 @@ def evaluate_dataset(
     text_feats: np.ndarray,
     max_videos: Optional[int] = None,
     clip_visual_apply=None,
+    mesh=None,
 ) -> Dict[str, float]:
     arch = cfg.model.meta_architecture
     info = catalog.get(dataset_name)
@@ -216,7 +220,9 @@ def evaluate_dataset(
     if getattr(model, "supervise_aux_logits", False):
         model = model.clone(supervise_aux_logits=False)
 
-    if arch == "BriVIS":
+    if arch == "BriVIS" and cfg.model.resampler.name == "temporal":
+        # decoupled/raw resampler variants evaluate single-shot (their layer
+        # structure has no split transform/heads entry points)
         return _evaluate_brivis_windowed(
             cfg, model, params, dataset_name, text_feats, max_videos, evaluator
         )
@@ -234,6 +240,19 @@ def evaluate_dataset(
         openvis_score_fn = jax.jit(make_openvis_score_fn(cfg, clip_visual_apply))
     text = jnp.asarray(text_feats)
 
+    # eval-time mesh sharding: groups of `ndev` windows run as one sharded
+    # window-batch (the per-frame stack is data-parallel over windows)
+    ndev = 1
+    shard = repl = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ndev = int(mesh.devices.size)
+        shard = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        text = jax.device_put(text, repl)
+
     n_videos = 0
     for rec, sample in test_videos(cfg, dataset_name):
         if max_videos is not None and n_videos >= max_videos:
@@ -241,19 +260,34 @@ def evaluate_dataset(
         n_videos += 1
         frames = sample["pixels"]  # (T, H, W, 3) numpy
         t = frames.shape[0]
-        parts = {"logits": [], "masks": [], "embeds": [], "obj_logits": []}
+        # fixed-size windows (tail padded by repeating the last frame)
+        chunks, keeps = [], []
         for i in range(0, t, window):
             chunk = frames[i : i + window]
             pad = window - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-            out = window_fn(params, jnp.asarray(chunk), text)
-            keep = window - pad
-            parts["masks"].append(np.asarray(out["masks"][0, :, :keep]))
-            parts["embeds"].append(np.asarray(out["embeds"][0, :keep]))
-            parts["logits"].append(np.asarray(out["logits"][0, :keep]))
-            if "obj_logits" in out:
-                parts["obj_logits"].append(np.asarray(out["obj_logits"][0, :keep]))
+            chunks.append(chunk)
+            keeps.append(window - pad)
+        parts = {"logits": [], "masks": [], "embeds": [], "obj_logits": []}
+        for gi in range(0, len(chunks), ndev):
+            grp = chunks[gi : gi + ndev]
+            gpad = ndev - len(grp)
+            if gpad:
+                grp = grp + [grp[-1]] * gpad
+            frames_g = jnp.asarray(np.concatenate(grp))   # (G*W, H, Wd, 3)
+            if shard is not None:
+                frames_g = jax.device_put(frames_g, shard)
+            out = window_fn(params, frames_g, text)
+            for wi in range(len(grp) - gpad):
+                keep = keeps[gi + wi]
+                parts["masks"].append(np.asarray(out["masks"][wi, :, :keep]))
+                parts["embeds"].append(np.asarray(out["embeds"][wi, :keep]))
+                parts["logits"].append(np.asarray(out["logits"][wi, :keep]))
+                if "obj_logits" in out:
+                    parts["obj_logits"].append(
+                        np.asarray(out["obj_logits"][wi, :keep])
+                    )
         logits = np.concatenate(parts["logits"], axis=0)     # (T, Q, C)
         masks = np.concatenate(parts["masks"], axis=1)       # (Q, T, h, w)
         embeds = np.concatenate(parts["embeds"], axis=0)     # (T, Q, C)

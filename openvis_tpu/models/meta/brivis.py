@@ -31,7 +31,11 @@ from openvis_tpu.config import ModelConfig
 from openvis_tpu.losses.brownian import brownian_bridge_loss
 from openvis_tpu.losses.criterion import CriterionSettings, match, set_criterion
 from openvis_tpu.models.meta.simple_baseline import _normalize
-from openvis_tpu.models.resampler import TemporalResampler
+from openvis_tpu.models.resampler import (
+    DecoupledTemporalResampler,
+    RawTemporalResampler,
+    TemporalResampler,
+)
 from openvis_tpu.models.segmenter import Segmenter
 from openvis_tpu.models.side_adapter import SideAdapter
 from openvis_tpu.models.tracking import apply_track_indices, track_by_embeds
@@ -57,13 +61,21 @@ class BriVISModel(nn.Module):
             name="clip_adapter",
         )
         self.segmenter = Segmenter(cfg, name="segmenter")
-        self.resampler = TemporalResampler(
+        rs_kw = dict(
             hidden_dim=cfg.transformer_decoder.hidden_dim,
             feed_dim=cfg.transformer_decoder.dim_feedforward,
             nheads=cfg.transformer_decoder.nheads,
             nlayers=cfg.resampler.num_layers,
             name="resampler",
         )
+        if cfg.resampler.name == "decoupled":
+            self.resampler = DecoupledTemporalResampler(
+                nqueries=cfg.transformer_decoder.num_queries, **rs_kw
+            )
+        elif cfg.resampler.name == "raw":
+            self.resampler = RawTemporalResampler(**rs_kw)
+        else:
+            self.resampler = TemporalResampler(**rs_kw)
         self.brownian_dense = nn.Dense(
             cfg.transformer_decoder.hidden_dim, name="brownian_proj"
         )
@@ -119,9 +131,16 @@ class BriVISModel(nn.Module):
         )
         image_masks = jnp.swapaxes(image_masks, 1, 2)     # (B, Q, T, H, W)
 
-        res = self.resampler(
-            frame_embeds, image_out["mask_feats"], image_out["attn_feats"]
-        )
+        if self.cfg.resampler.name == "raw":
+            res = self.resampler(
+                frame_embeds, image_out["mask_feats"],
+                image_out["attn_feats"], image_out["ms_feats"],
+                image_out["ms_pos"],
+            )
+        else:
+            res = self.resampler(
+                frame_embeds, image_out["mask_feats"], image_out["attn_feats"]
+            )
 
         # CLIP logits for all resampler layers in one batched post-encode
         ab = res["attn_biases_all"]  # (L+1, B*T, nH, Q, h, w)

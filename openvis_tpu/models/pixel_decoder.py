@@ -152,29 +152,63 @@ def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
 
 
 class BasePixelDecoder(nn.Module):
-    """FPN-only pixel decoder (reference ``BasePixelDecoder``,
-    ``modeling/pixel_decoder/fpn.py`` path selected by
-    ``PIXEL_DECODER_NAME: BasePixelDecoder`` — no deformable encoder):
+    """FPN pixel decoder (reference ``BasePixelDecoder`` /
+    ``TransformerEncoderPixelDecoder``, ``modeling/pixel_decoder/fpn.py``):
     top-down 1x1 lateral + 3x3 output convs from res5 down to res2, with the
-    3 deepest maps returned as multi-scale features."""
+    3 deepest maps returned as multi-scale features.
+
+    ``transformer_enc_layers > 0`` selects the TransformerEncoderPixelDecoder
+    variant: res5 is input-projected and run through a plain DETR transformer
+    encoder (self-attn + FFN over HW tokens with 2D sine PE — the encoder
+    half of the reference's ``pixel_decoder/transformer.py:19``; its decoder
+    half is never instantiated by any shipped config and is deliberately
+    omitted) before becoming the FPN top."""
 
     conv_dim: int = 256
     mask_dim: int = 256
+    transformer_enc_layers: int = 0
+    nheads: int = 8
+    dim_feedforward: int = 2048
 
     @nn.compact
     def __call__(self, features, extra_features=None):
+        from openvis_tpu.models.position_encoding import position_encoding_2d
+        from openvis_tpu.models.transformer_decoder import (
+            FFNLayer,
+            SelfAttentionLayer,
+        )
+
         names = ["res5", "res4", "res3", "res2"]
         outs = []
         y = None
         for idx, f in enumerate(names):
             x = features[f]
-            lat = nn.Conv(self.conv_dim, (1, 1), use_bias=False,
-                          name=f"adapter{idx}_conv")(x)
-            lat = nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm")(lat)
-            if y is None:
-                y = lat
+            if idx == 0 and self.transformer_enc_layers > 0:
+                # DETR encoder over res5 tokens (fpn.py TransformerEncoder
+                # path): input_proj -> N x [self-attn(+PE) -> FFN], post-norm
+                n, h, w, _ = x.shape
+                tok = nn.Conv(self.conv_dim, (1, 1), name="input_proj")(x)
+                tok = tok.reshape(n, h * w, self.conv_dim)
+                pe = position_encoding_2d(h, w, self.conv_dim // 2).astype(
+                    tok.dtype
+                ).reshape(1, h * w, self.conv_dim)
+                for li in range(self.transformer_enc_layers):
+                    tok = SelfAttentionLayer(
+                        self.conv_dim, self.nheads, name=f"enc_attn{li}"
+                    )(tok, pe)
+                    tok = FFNLayer(
+                        self.conv_dim, self.dim_feedforward,
+                        name=f"enc_ffn{li}",
+                    )(tok)
+                y = tok.reshape(n, h, w, self.conv_dim)
             else:
-                y = lat + resize_bilinear(y, (x.shape[1], x.shape[2]))
+                lat = nn.Conv(self.conv_dim, (1, 1), use_bias=False,
+                              name=f"adapter{idx}_conv")(x)
+                lat = nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm")(lat)
+                if y is None:
+                    y = lat
+                else:
+                    y = lat + resize_bilinear(y, (x.shape[1], x.shape[2]))
             z = nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=False,
                         name=f"layer{idx}_conv")(y)
             z = nn.GroupNorm(num_groups=32, name=f"layer{idx}_norm")(z)

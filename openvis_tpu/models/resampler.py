@@ -33,9 +33,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from openvis_tpu.models.transformer_decoder import (
+    CrossAttentionLayer,
     FFNLayer,
     MLP,
     MultiheadAttention,
+    SelfAttentionLayer,
 )
 
 
@@ -150,3 +152,220 @@ class TemporalResampler(nn.Module):
             "pred_embeds": per_frame[-1].reshape(b, t, q, c),
         }
         return out
+
+
+class DecoupledTemporalResampler(nn.Module):
+    """``DecoupledTemporalInstanceResampler`` (``resampler.py:9-186``):
+    a fresh set of LEARNABLE queries decodes from the temporally-refined
+    frame embeds — per layer the frame embeds go through the same
+    long/short/FFN temporal stack, then the learnable queries cross-attend
+    to their frame's refined embeds, self-attend, and FFN; heads after every
+    layer (plus the pre-layer queries).  Registered-but-unused by shipped
+    reference configs; the reference forward's einops memory construction is
+    internally inconsistent for t>1 (mixes the q and t axes), so this
+    rebuild uses the per-frame memory its structure implies.
+
+    Same TPU delta as :class:`TemporalResampler`: all L+1 layer outputs are
+    stacked and the heads run once."""
+
+    hidden_dim: int = 256
+    feed_dim: int = 2048
+    nheads: int = 8
+    nlayers: int = 6
+    nqueries: int = 100
+
+    def setup(self):
+        n = self.nlayers
+        self.longs = [
+            MultiheadAttention(self.hidden_dim, self.nheads, name=f"long{i}")
+            for i in range(n)
+        ]
+        self.long_norms = [nn.LayerNorm(name=f"long_norm{i}") for i in range(n)]
+        self.short_conv1s = [
+            nn.Conv(self.hidden_dim, (5,), padding="VALID",
+                    name=f"short{i}_conv1") for i in range(n)
+        ]
+        self.short_conv2s = [
+            nn.Conv(self.hidden_dim, (3,), padding="VALID",
+                    name=f"short{i}_conv2") for i in range(n)
+        ]
+        self.agg_norms = [nn.LayerNorm(name=f"agg_norm{i}") for i in range(n)]
+        self.ffns = [
+            FFNLayer(self.hidden_dim, self.feed_dim, name=f"ffn{i}")
+            for i in range(n)
+        ]
+        self.tgt_cas = [
+            CrossAttentionLayer(self.hidden_dim, self.nheads,
+                                name=f"tgt_ca{i}") for i in range(n)
+        ]
+        self.tgt_sas = [
+            SelfAttentionLayer(self.hidden_dim, self.nheads,
+                               name=f"tgt_sa{i}") for i in range(n)
+        ]
+        self.tgt_ffns = [
+            FFNLayer(self.hidden_dim, self.feed_dim, name=f"tgt_ffn{i}")
+            for i in range(n)
+        ]
+        self.query_emb = self.param(
+            "query_emb", nn.initializers.normal(1.0),
+            (self.nqueries, self.hidden_dim),
+        )
+        self.query_pos = self.param(
+            "query_pos", nn.initializers.normal(1.0),
+            (self.nqueries, self.hidden_dim),
+        )
+        self.decode_norm = nn.LayerNorm(name="decode_norm")
+        self.mask_embed_mlp = MLP(
+            self.hidden_dim, self.hidden_dim, 3, name="mask_embed"
+        )
+        self.attn_embed_mlp = MLP(
+            self.hidden_dim, self.hidden_dim, 3, name="attn_embed"
+        )
+
+    def __call__(self, frame_embeds, mask_feats, attn_feats):
+        b, t, q, c = frame_embeds.shape
+        bt = b * t
+        x = jnp.transpose(frame_embeds, (0, 2, 1, 3)).reshape(b * q, t, c)
+        tgt = jnp.broadcast_to(
+            self.query_emb[None], (bt, self.nqueries, c)
+        )
+        qpos = self.query_pos[None]
+        tgt_layers = [tgt]
+        for i in range(self.nlayers):
+            attn = self.longs[i](x, x, x)
+            x = self.long_norms[i](x + attn)
+            y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+            y = self.short_conv1s[i](y)
+            y = nn.relu(y)
+            y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            y = self.short_conv2s[i](y)
+            x = self.agg_norms[i](y + x)
+            x = self.ffns[i](x)
+            # per-frame memory: each frame's q refined embeds (B*T, Q, C)
+            mem = jnp.transpose(
+                x.reshape(b, q, t, c), (0, 2, 1, 3)
+            ).reshape(bt, q, c)
+            tgt = self.tgt_cas[i](tgt, mem, jnp.zeros_like(mem[:1]), qpos)
+            tgt = self.tgt_sas[i](tgt, qpos)
+            tgt = self.tgt_ffns[i](tgt)
+            tgt_layers.append(tgt)
+
+        stacked = self.decode_norm(jnp.stack(tgt_layers))  # (L+1, B*T, Q, C)
+        l1 = stacked.shape[0]
+        me = self.mask_embed_mlp(stacked)
+        ae = self.attn_embed_mlp(stacked)
+        masks = jnp.einsum("lnqc,nhwc->lnqhw", me, mask_feats)
+        biases = jnp.einsum("lnqc,nmhwc->lnmqhw", ae, attn_feats)
+        h, w = mask_feats.shape[1:3]
+        return {
+            "pred_masks_all": jnp.transpose(
+                masks.reshape(l1, b, t, self.nqueries, h, w),
+                (0, 1, 3, 2, 4, 5),
+            ),
+            "attn_biases_all": biases,
+            "pred_embeds": stacked[-1].reshape(b, t, self.nqueries, c),
+        }
+
+
+class RawTemporalResampler(nn.Module):
+    """``RawTemporalInstanceResampler`` (``resampler.py:326-626``): the
+    temporal stack plus, per layer, per-frame CROSS-ATTENTION back into the
+    multi-scale pixel features (level ``i % 3``, round-robin like the main
+    decoder), then query self-attention and FFN; heads after every layer.
+
+    The reference computes a masked-attention ``attn_mask`` per layer but
+    passes ``memory_mask=None`` to the cross-attention (``resampler.py:
+    504-516``) — the mask is dead code, so this rebuild omits it.  The
+    reference's windowed-inference path for this class lives in the engine
+    instead (the frame stack runs per window; this module sees the full
+    concatenated sequence — ``engine._evaluate_brivis_windowed``)."""
+
+    hidden_dim: int = 256
+    feed_dim: int = 2048
+    nheads: int = 8
+    nlayers: int = 6
+
+    def setup(self):
+        n = self.nlayers
+        self.longs = [
+            MultiheadAttention(self.hidden_dim, self.nheads, name=f"long{i}")
+            for i in range(n)
+        ]
+        self.long_norms = [nn.LayerNorm(name=f"long_norm{i}") for i in range(n)]
+        self.short_conv1s = [
+            nn.Conv(self.hidden_dim, (5,), padding="VALID",
+                    name=f"short{i}_conv1") for i in range(n)
+        ]
+        self.short_conv2s = [
+            nn.Conv(self.hidden_dim, (3,), padding="VALID",
+                    name=f"short{i}_conv2") for i in range(n)
+        ]
+        self.agg_norms = [nn.LayerNorm(name=f"agg_norm{i}") for i in range(n)]
+        self.crosses = [
+            CrossAttentionLayer(self.hidden_dim, self.nheads,
+                                name=f"cross{i}") for i in range(n)
+        ]
+        self.selfs = [
+            SelfAttentionLayer(self.hidden_dim, self.nheads,
+                               name=f"self{i}") for i in range(n)
+        ]
+        self.ffns = [
+            FFNLayer(self.hidden_dim, self.feed_dim, name=f"ffn{i}")
+            for i in range(n)
+        ]
+        self.decode_norm = nn.LayerNorm(name="decode_norm")
+        self.mask_embed_mlp = MLP(
+            self.hidden_dim, self.hidden_dim, 3, name="mask_embed"
+        )
+        self.attn_embed_mlp = MLP(
+            self.hidden_dim, self.hidden_dim, 3, name="attn_embed"
+        )
+
+    def __call__(self, frame_embeds, mask_feats, attn_feats, ms_feats, ms_pos):
+        """ms_feats/ms_pos: the frame decoder's 3 token maps
+        ((B*T, hw_l, C), (1, hw_l, C)) top-down — ``Segmenter`` outputs
+        ``ms_feats``/``ms_pos``."""
+        b, t, q, c = frame_embeds.shape
+        bt = b * t
+        nlvl = len(ms_feats)
+        x = jnp.transpose(frame_embeds, (0, 2, 1, 3)).reshape(b * q, t, c)
+        per_frame0 = frame_embeds.reshape(bt, q, c)
+        layer_outputs = [per_frame0]
+        for i in range(self.nlayers):
+            attn = self.longs[i](x, x, x)
+            x = self.long_norms[i](x + attn)
+            y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+            y = self.short_conv1s[i](y)
+            y = nn.relu(y)
+            y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            y = self.short_conv2s[i](y)
+            x = self.agg_norms[i](y + x)
+            # per-frame cross-attn into pixel features at level i % 3
+            pf = jnp.transpose(
+                x.reshape(b, q, t, c), (0, 2, 1, 3)
+            ).reshape(bt, q, c)
+            lvl = i % nlvl
+            pf = self.crosses[i](
+                pf, ms_feats[lvl], ms_pos[lvl], jnp.zeros((1, q, c), pf.dtype)
+            )
+            pf = self.selfs[i](pf, jnp.zeros((1, q, c), pf.dtype))
+            pf = self.ffns[i](pf)
+            layer_outputs.append(pf)
+            x = jnp.transpose(
+                pf.reshape(b, t, q, c), (0, 2, 1, 3)
+            ).reshape(b * q, t, c)
+
+        stacked = self.decode_norm(jnp.stack(layer_outputs))  # (L+1, B*T, Q, C)
+        l1 = stacked.shape[0]
+        me = self.mask_embed_mlp(stacked)
+        ae = self.attn_embed_mlp(stacked)
+        masks = jnp.einsum("lnqc,nhwc->lnqhw", me, mask_feats)
+        biases = jnp.einsum("lnqc,nmhwc->lnmqhw", ae, attn_feats)
+        h, w = mask_feats.shape[1:3]
+        return {
+            "pred_masks_all": jnp.transpose(
+                masks.reshape(l1, b, t, q, h, w), (0, 1, 3, 2, 4, 5)
+            ),
+            "attn_biases_all": biases,
+            "pred_embeds": stacked[-1].reshape(b, t, q, c),
+        }

@@ -65,6 +65,10 @@ _DECODER_KINDS = {
     "side_adapter_frame": ("frame", "side_adapter"),
     "side_adapter_video": ("video", "side_adapter"),
     "ov2seg_frame": ("frame", "ov2seg"),
+    # ZeroShot decoder (zero_shot_mask2former_transformer_decoder.py:16):
+    # registered in the reference but never selected by a shipped config
+    "frame_zero_shot": ("frame", "zero_shot"),
+    "video_zero_shot": ("video", "zero_shot"),
 }
 
 
@@ -85,9 +89,14 @@ class Segmenter(nn.Module):
         feats = build_backbone(cfg)(frames)
 
         pd = cfg.pixel_decoder
-        if pd.name == "fpn":
+        if pd.name in ("fpn", "transformer_enc"):
             mask_features, _, ms_features = BasePixelDecoder(
                 conv_dim=pd.conv_dim, mask_dim=pd.mask_dim,
+                transformer_enc_layers=(
+                    pd.transformer_enc_layers if pd.name == "transformer_enc"
+                    else 0
+                ),
+                nheads=pd.num_heads, dim_feedforward=pd.dim_feedforward,
                 name="pixel_decoder",
             )(feats, extra_features)
         else:

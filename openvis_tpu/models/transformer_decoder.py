@@ -196,6 +196,13 @@ class PredictionHeads(nn.Module):
             # attn_features: (B, nH, h, w, C); bias (B, nH, Q, h, w)
             attn_embed = MLP(self.hidden_dim, self.hidden_dim, 3, name="attn_embed")(x)
             logits = jnp.einsum("bqc,bnhwc->bnqhw", attn_embed, attn_features)
+        elif self.head == "zero_shot":
+            # ZeroShotMultiScaleMaskedTransformerDecoder (zero_shot_...py:
+            # 246-266): "logits" are the normalized decoder embeddings
+            # themselves (matched against text externally) packed with a
+            # 2-layer objectness head, [embed (hidden) | obj (2)]
+            obj = MLP(self.hidden_dim, 2, 2, name="object_embed")(x)
+            logits = jnp.concatenate([x, obj], axis=-1)
         elif self.head == "ov2seg":
             # OV2Seg (ov2seg.py:489-529 + object head): zero-shot classifier
             # MLP hidden -> D/2 -> D plus a 2-way objectness head, packed on

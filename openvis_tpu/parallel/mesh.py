@@ -20,6 +20,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init (the reference's ``launch(num_machines, machine_rank,
+    dist_url)`` rendezvous, train_net.py:303-313).  On TPU pods the runtime
+    autodetects everything and the arguments may all be None; on other
+    platforms pass the coordinator explicitly.  After this, ``jax.devices()``
+    is global and :func:`make_mesh` lays the data axis across ICI within a
+    slice and DCN across slices (XLA owns the transport — SURVEY §2.6)."""
+    kwargs = {}
+    if coordinator_address:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:
     devices = jax.devices()
     if n_devices is not None:
@@ -39,3 +60,14 @@ def shard_batch(batch, mesh: Mesh):
     """Device_put a pytree of host arrays with the leading axis sharded."""
     s = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, s), batch)
+
+
+def put_global(x, sharding: NamedSharding):
+    """Host array -> global sharded array.  Single-process: a plain
+    device_put.  Multi-host: each process contributes its local slice of the
+    global batch (``jax.make_array_from_process_local_data``) — the
+    per-process loader produces ``ims_per_batch / process_count`` samples,
+    mirroring the reference's per-rank DataLoader split (build.py:23-37)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))

@@ -82,6 +82,38 @@ def test_brownian_loss_shapes_and_sanity():
     assert float(bc_lin) < float(bc) + 1e-3
 
 
+import pytest
+
+
+@pytest.mark.parametrize("name", ["decoupled", "raw"])
+def test_brivis_resampler_variants(name):
+    """Decoupled (resampler.py:9-186) and Raw (:326-626) resampler variants:
+    forward + loss run with the same output contract as Temporal."""
+    cfg = brivis_tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model,
+            resampler=dataclasses.replace(cfg.model.resampler, name=name),
+        ),
+    )
+    rng = np.random.RandomState(0)
+    batch = _batch(rng)
+    model = BriVISModel(cfg.model)
+    frames = batch["pixels"].reshape(B * T, H, W, 3)
+    params = model.init(
+        jax.random.PRNGKey(0), frames, T, batch["text_feats"]
+    )["params"]
+    out = model.apply({"params": params}, frames, T, batch["text_feats"])
+    L = cfg.model.resampler.num_layers + 1
+    q = cfg.model.transformer_decoder.num_queries
+    assert out["pred_logits_all"].shape == (L, B, T, q, K + 1)
+    assert out["pred_masks_all"].shape[:2] == (L, B)
+    losses = brivis_loss(
+        jax.random.PRNGKey(1), out, batch["targets"], cfg.model, K
+    )
+    assert np.isfinite(float(losses["total"]))
+
+
 def test_brivis_train_step_freezes_stage1():
     cfg = brivis_tiny_config()
     rng = np.random.RandomState(0)

@@ -152,7 +152,66 @@ def test_eval_mapper_all_frames(synthetic_ytvis):
     assert s["pixels"].shape[0] == 4  # all frames at eval
 
 
-def test_crop_augmentation(synthetic_ytvis):
+def test_crop_augmentation():
+    """Reference composition (augmentation.py:326-333): RandomApply(prob) of
+    [pre-resize + crop] BEFORE the main resize; frames and masks transform
+    identically."""
+    from openvis_tpu.data.transforms import ClipAugmenter
+
+    rng = np.random.RandomState(2)
+    frames = [rng.randint(0, 255, (60, 90, 3), np.uint8) for _ in range(2)]
+    masks = [[np.ones((60, 90), np.uint8)] for _ in range(2)]
+    aug = ClipAugmenter(
+        (48,), 96, flip=False, is_train=True,
+        crop=True, crop_type="absolute_range", crop_size=(24, 40),
+        crop_prob=1.0, crop_pre_sizes=(50,),
+    )
+    out_f, out_m, size = aug(rng, frames, masks)
+    # pre-resize short side 50 -> crop H,W in [24,40] -> main resize to 48
+    assert min(size) == 48 or max(size) == 96
+    assert out_f[0].shape[:2] == tuple(size)
+    assert out_m[0][0].shape == tuple(size)
+    assert out_f[0].shape == out_f[1].shape  # clip-consistent
+
+    # prob 0.0 -> no crop: plain shortest-edge resize of the full image
+    aug_nc = ClipAugmenter(
+        (48,), 96, flip=False, is_train=True,
+        crop=True, crop_type="absolute_range", crop_size=(24, 40),
+        crop_prob=0.0,
+    )
+    _, _, size_nc = aug_nc(np.random.RandomState(2), frames, masks)
+    assert size_nc == (48, 72)
+
+
+def test_color_jitter_semantics():
+    """d2 BlendTransform semantics: brightness scales, contrast blends with
+    the mean, saturation blends with ITU-R grayscale (no-op on gray)."""
+    from openvis_tpu.data.transforms import color_jitter
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 200, (8, 10, 3), np.uint8)
+
+    class FixedRng:
+        def uniform(self, lo, hi):
+            return 1.1
+
+    out = color_jitter(FixedRng(), img, ("brightness",))
+    np.testing.assert_allclose(
+        out, np.clip(img.astype(np.float32) * 1.1, 0, 255).astype(np.uint8)
+    )
+    out = color_jitter(FixedRng(), img, ("contrast",))
+    m = img.astype(np.float32).mean()
+    np.testing.assert_allclose(
+        out,
+        np.clip(m * -0.1 + img.astype(np.float32) * 1.1, 0, 255).astype(np.uint8),
+        atol=1,
+    )
+    gray = np.full((8, 10, 3), 77, np.uint8)
+    out = color_jitter(FixedRng(), gray, ("saturation",))
+    np.testing.assert_allclose(out, gray, atol=1)
+
+
+def test_clip_augmenter_color_consistent_shapes(synthetic_ytvis):
     import dataclasses
 
     root, info = synthetic_ytvis
@@ -160,17 +219,15 @@ def test_crop_augmentation(synthetic_ytvis):
     inp = dataclasses.replace(
         cfg.input, min_size_train=(48,), max_size_train=96,
         pad_size=(64, 96), max_instances=6,
-        crop_enabled=True, crop_type="absolute_range", crop_size=(24, 40),
+        augmentations=("brightness", "contrast", "saturation"),
     )
     records = load_ytvis_records(info, root, is_train=True)
     mapper = YTVISClipMapper(
         info, inp, cfg.model.pixel_mean, cfg.model.pixel_std, is_train=True
     )
-    rng = np.random.RandomState(2)
-    s = mapper(rng, records[0])
-    h, w = s["image_size"]
-    assert 24 <= h <= 48 and 24 <= w <= 64  # cropped within range
+    s = mapper(np.random.RandomState(2), records[0])
     assert s["pixels"].shape[1] % 32 == 0
+    assert np.isfinite(s["pixels"]).all()
 
 
 def test_burst_loader(tmp_path):

@@ -311,6 +311,29 @@ def test_openvis_windowed_eval_clip_scoring(synth_root):
     assert "AP" in metrics and np.isfinite(metrics["AP"])
 
 
+def test_mesh_sharded_eval_matches_sequential(synth_root):
+    """Eval-time mesh sharding (SURVEY §2.6): groups of windows run as one
+    data-parallel batch over the CPU-8 mesh; metrics must be identical to
+    the sequential path."""
+    from jax.sharding import Mesh
+
+    cfg = _cfg(synth_root)
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 2, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+    seq = evaluate_dataset(cfg, model, params, "synth_eval", text)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    assert mesh.devices.size == 8  # conftest forces the CPU-8 platform
+    par = evaluate_dataset(cfg, model, params, "synth_eval", text, mesh=mesh)
+    for k in seq:
+        np.testing.assert_allclose(par[k], seq[k], rtol=1e-4, atol=1e-6)
+
+
 def test_clip_ensemble_combination():
     from openvis_tpu.engine import apply_clip_ensemble
 

@@ -34,6 +34,13 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--weights", default="", help="checkpoint dir or pretrained msgpack")
     p.add_argument("--max-videos", type=int, default=None, help="eval video cap")
+    # multi-host rendezvous (reference launch(num_machines, machine_rank,
+    # dist_url), train_net.py:303-313); on TPU pods all three may be omitted
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize (multi-host)")
+    p.add_argument("--coordinator", default="", help="coordinator host:port")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.add_argument("opts", nargs="*", help="dotted config overrides a.b=c")
     return p.parse_args()
 
@@ -68,6 +75,13 @@ def main():
     args = parse_args()
     logging.basicConfig(level=logging.INFO)
 
+    if args.distributed or args.coordinator:
+        from openvis_tpu.parallel.mesh import init_distributed
+
+        init_distributed(
+            args.coordinator or None, args.num_processes, args.process_id
+        )
+
     from openvis_tpu.checkpoint import (
         load_params_from_checkpoint,
         merge_pretrained,
@@ -78,7 +92,12 @@ def main():
     from openvis_tpu.data import catalog
     from openvis_tpu.data.loader import TrainLoader
     from openvis_tpu.engine import evaluate_dataset
-    from openvis_tpu.parallel.mesh import data_sharding, make_mesh, replicated
+    from openvis_tpu.parallel.mesh import (
+        data_sharding,
+        make_mesh,
+        put_global,
+        replicated,
+    )
     from openvis_tpu.parallel.train_step import (
         TrainState,
         make_optimizer,
@@ -102,8 +121,20 @@ def main():
     mesh = make_mesh()
     logger.info("devices: %s", jax.devices())
 
-    # init with one sample batch shape
-    loader = None if args.eval_only else TrainLoader(cfg, seed=cfg.seed)
+    # init with one sample batch shape; each process loads its slice of the
+    # global batch (reference per-rank split, build.py:23-37)
+    loader_cfg = cfg
+    if jax.process_count() > 1:
+        per_proc = cfg.solver.ims_per_batch // jax.process_count()
+        assert per_proc * jax.process_count() == cfg.solver.ims_per_batch, (
+            "solver.ims_per_batch must divide by process count"
+        )
+        loader_cfg = dataclasses.replace(
+            cfg, solver=dataclasses.replace(cfg.solver, ims_per_batch=per_proc)
+        )
+    loader = None if args.eval_only else TrainLoader(
+        loader_cfg, seed=cfg.seed + jax.process_index()
+    )
     if args.eval_only:
         inp = cfg.input
         sample = {
@@ -185,7 +216,7 @@ def main():
             tf = bank.encode(names)
             metrics = evaluate_dataset(
                 cfg, model, state.params, ds, tf, args.max_videos,
-                clip_visual_apply=clip_visual_apply,
+                clip_visual_apply=clip_visual_apply, mesh=mesh,
             )
             logger.info("%s: %s", ds, json.dumps(metrics))
             with open(os.path.join(out_dir, f"metrics_{ds}.json"), "w") as f:
@@ -207,9 +238,14 @@ def main():
 
     repl = replicated(mesh)
     data = data_sharding(mesh)
-    state = jax.device_put(state, repl)
+    if jax.process_count() == 1:
+        state = jax.device_put(state, repl)
+    else:  # every process contributes the full replicated state
+        state = jax.tree.map(
+            lambda x: put_global(x, repl), jax.device_get(state)
+        )
     rng = jax.random.PRNGKey(cfg.seed)
-    text_dev = jax.device_put(jnp.asarray(text_feats), repl)
+    text_dev = put_global(np.asarray(text_feats), repl)
 
     from openvis_tpu.utils.profiling import StepTimer
 
@@ -218,11 +254,10 @@ def main():
     timer = StepTimer(os.path.join(out_dir, "metrics.jsonl"))
     for it in range(start, cfg.solver.max_iter):
         batch = next(loader)
-        batch["text_feats"] = text_dev
         batch = {
-            "pixels": jax.device_put(batch["pixels"], data),
+            "pixels": put_global(np.asarray(batch["pixels"]), data),
             "targets": jax.tree.map(
-                lambda x: jax.device_put(x, data), batch["targets"]
+                lambda x: put_global(np.asarray(x), data), batch["targets"]
             ),
             "text_feats": text_dev,
         }
