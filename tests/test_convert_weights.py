@@ -197,3 +197,74 @@ def test_clip_conversion_runs():
     toks = jnp.asarray(rng.randint(0, VOCAB, (3, CTX)), jnp.int32)
     tf = txt.apply({"params": tree["text"]}, toks)
     assert tf.shape == (3, EMB)
+
+
+def test_legacy_key_migration():
+    """d2 v<2 checkpoints: bare sem_seg_head.* keys (no pixel_decoder.
+    prefix) + static_query -> query_feat (the reference's
+    _load_from_state_dict shims, mask_former_head.py:23-45 and
+    video_mask2former_transformer_decoder.py:224-245)."""
+    from tools.convert_weights import convert_mask2former, migrate_legacy_keys
+
+    rng = np.random.RandomState(0)
+    modern = _d2_state(rng)
+    legacy = {}
+    for k, v in modern.items():
+        nk = k.replace("sem_seg_head.pixel_decoder.", "sem_seg_head.")
+        nk = nk.replace("query_feat", "static_query")
+        legacy[nk] = v
+    assert any("static_query" in k for k in legacy)
+    assert not any("pixel_decoder" in k for k in legacy)
+
+    migrated = migrate_legacy_keys(legacy)
+    assert set(migrated) == set(modern)
+
+    a = convert_mask2former(modern, enc_layers=2, dec_layers=2)
+    b = convert_mask2former(legacy, enc_layers=2, dec_layers=2)
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(a),
+        jax.tree_util.tree_leaves_with_path(b),
+    ):
+        assert pa == pb
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_timm_resnet_conversion_matches_init_tree():
+    """timm resnet50 (IN21k) naming -> the same backbone tree the d2
+    converter produces (OV2Seg's CustomResNet source, ov2seg.py:45-134)."""
+    from tools.convert_weights import convert_resnet, convert_timm_resnet
+
+    rng = np.random.RandomState(0)
+    d = {}
+
+    def conv(name, i, o, k):
+        d[f"{name}.weight"] = (0.05 * rng.randn(o, i, k, k)).astype(np.float32)
+
+    def bn(name, c):
+        for s in ("weight", "bias", "running_mean"):
+            d[f"{name}.{s}"] = rng.randn(c).astype(np.float32)
+        d[f"{name}.running_var"] = rng.rand(c).astype(np.float32) + 0.5
+
+    conv("conv1", 3, 64, 7)
+    bn("bn1", 64)
+    cin = 64
+    for si, nb in enumerate((3, 4, 6, 3)):
+        width = 64 * 2 ** si
+        cout = width * 4
+        for bi in range(nb):
+            pre = f"layer{si+1}.{bi}"
+            conv(f"{pre}.conv1", cin if bi == 0 else cout, width, 1)
+            bn(f"{pre}.bn1", width)
+            conv(f"{pre}.conv2", width, width, 3)
+            bn(f"{pre}.bn2", width)
+            conv(f"{pre}.conv3", width, cout, 1)
+            bn(f"{pre}.bn3", cout)
+            if bi == 0:
+                conv(f"{pre}.downsample.0", cin, cout, 1)
+                bn(f"{pre}.downsample.1", cout)
+        cin = cout
+
+    tree = convert_timm_resnet(d)
+    # same structure as the d2 converter over the synthetic d2 state
+    d2_tree = convert_resnet(_d2_state(np.random.RandomState(1)))
+    assert _tree_spec(tree) == _tree_spec(d2_tree)

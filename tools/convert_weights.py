@@ -106,6 +106,35 @@ def convert_resnet(d: Dict[str, np.ndarray], depth: int = 50) -> Dict:
     return out
 
 
+def convert_timm_resnet(d: Dict[str, np.ndarray], depth: int = 50) -> Dict:
+    """timm ResNet-50 (the IN21k weights OV2Seg's ``CustomResNet`` loads,
+    ``ov2seg.py:45-134``) -> the same backbone tree as :func:`convert_resnet`,
+    by remapping timm naming (``conv1/bn1`` stem, ``layer{1..4}.{i}.conv/bn``
+    blocks, ``downsample.0/1`` shortcuts) onto d2 naming.  timm resnet50's
+    torchvision-style stride placement matches ``stride_in_1x1=False``."""
+    bn_parts = ("weight", "bias", "running_mean", "running_var")
+    remap: Dict[str, np.ndarray] = {}
+    remap["backbone.stem.conv1.weight"] = d["conv1.weight"]
+    for s in bn_parts:
+        remap[f"backbone.stem.conv1.norm.{s}"] = d[f"bn1.{s}"]
+    blocks = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3)}[depth]
+    for si, nb in enumerate(blocks):
+        for bi in range(nb):
+            src = f"layer{si + 1}.{bi}"
+            dst = f"backbone.res{si + 2}.{bi}"
+            for ci in (1, 2, 3):
+                remap[f"{dst}.conv{ci}.weight"] = d[f"{src}.conv{ci}.weight"]
+                for s in bn_parts:
+                    remap[f"{dst}.conv{ci}.norm.{s}"] = d[f"{src}.bn{ci}.{s}"]
+            if f"{src}.downsample.0.weight" in d:
+                remap[f"{dst}.shortcut.weight"] = d[f"{src}.downsample.0.weight"]
+                for s in bn_parts:
+                    remap[f"{dst}.shortcut.norm.{s}"] = d[
+                        f"{src}.downsample.1.{s}"
+                    ]
+    return convert_resnet(remap, depth)
+
+
 def convert_pixel_decoder(d: Dict[str, np.ndarray], enc_layers: int = 6) -> Dict:
     p = "sem_seg_head.pixel_decoder"
     out = {"level_embed": d[f"{p}.level_embed"]}
@@ -187,6 +216,25 @@ def convert_predictor(
     return out
 
 
+def migrate_legacy_keys(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """d2 v<2 checkpoint key migration, matching the reference's
+    ``_load_from_state_dict`` shims: bare ``sem_seg_head.*`` keys gain the
+    ``pixel_decoder.`` prefix (``mask_former_head.py:23-45``) and
+    ``static_query`` renames to ``query_feat``
+    (``video_mask2former_transformer_decoder.py:224-245``)."""
+    out = {}
+    for k, v in state.items():
+        nk = k
+        if "static_query" in nk:
+            nk = nk.replace("static_query", "query_feat")
+        if "sem_seg_head." in nk and ".predictor." not in nk and (
+            ".pixel_decoder." not in nk
+        ):
+            nk = nk.replace("sem_seg_head.", "sem_seg_head.pixel_decoder.")
+        out[nk] = v
+    return out
+
+
 def convert_mask2former(
     state: Dict[str, np.ndarray],
     depth: int = 50,
@@ -195,6 +243,7 @@ def convert_mask2former(
     head: str = "class",
 ) -> Dict:
     """Full segmenter tree: {backbone, pixel_decoder, predictor}."""
+    state = migrate_legacy_keys(state)
     return {
         "backbone": convert_resnet(state, depth),
         "pixel_decoder": convert_pixel_decoder(state, enc_layers),
@@ -293,6 +342,9 @@ def main():
         tree = convert_mask2former(state)
     elif kind == "clip":
         tree = convert_clip(state)
+    elif kind == "timm_resnet":
+        # wrap as a segmenter subtree so merge_pretrained grafts it in place
+        tree = {"backbone": convert_timm_resnet(state)}
     else:
         raise SystemExit(f"unknown kind {kind}")
     save_msgpack(tree, dst)
