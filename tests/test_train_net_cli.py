@@ -1,0 +1,146 @@
+"""train_net.py CLI end-to-end: YAML config -> train steps -> checkpoint ->
+--eval-only restore + evaluation (reference ``train_net.py main()``).
+
+The text bank is monkeypatched (the real one needs a converted CLIP msgpack
++ BPE asset); everything else — config loading, catalog, loader, model init,
+optimizer, jitted sharded steps, checkpointing, the eval engine, metric
+files — runs for real on a synthetic YTVIS-style dataset.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openvis_tpu.data import catalog, rle
+
+D = 32
+
+
+def _write_video(tmp_path, name, h, w, t):
+    img_dir = tmp_path / "vids" / "JPEGImages" / name
+    img_dir.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    fns = []
+    for f in range(t):
+        Image.fromarray(rng.randint(0, 255, (h, w, 3), np.uint8)).save(
+            img_dir / f"{f:05d}.jpg"
+        )
+        fns.append(f"{name}/{f:05d}.jpg")
+    return fns
+
+
+def _ytvis_json(h, w, t, fns):
+    m = np.zeros((h, w), np.uint8)
+    m[10:30, 10:40] = 1
+    return {
+        "videos": [{"id": 1, "height": h, "width": w, "length": t,
+                    "file_names": fns}],
+        "annotations": [{"id": 1, "video_id": 1, "category_id": 1,
+                         "segmentations": [rle.encode(m)] * t,
+                         "bboxes": [[10, 10, 30, 20]] * t, "iscrowd": 0}],
+        "categories": [{"id": 1, "name": "c1"}, {"id": 2, "name": "c2"}],
+    }
+
+
+@pytest.fixture()
+def cli_root(tmp_path):
+    h, w = 48, 64
+    fns = _write_video(tmp_path, "tr1", h, w, 4)
+    with open(tmp_path / "train.json", "w") as f:
+        json.dump(_ytvis_json(h, w, 4, fns), f)
+    fns = _write_video(tmp_path, "ev1", h, w, 5)
+    with open(tmp_path / "eval.json", "w") as f:
+        json.dump(_ytvis_json(h, w, 5, fns), f)
+    for name, js in (("synth_cli_train", "train.json"),
+                     ("synth_cli_eval", "eval.json")):
+        catalog.register(catalog.DatasetInfo(
+            name=name, image_root="vids/JPEGImages", json_file=js,
+            thing_classes=("c1", "c2"), id_map={1: 0, 2: 1},
+        ))
+
+    cfg_yaml = f"""
+model:
+  meta_architecture: SimpleBaselineOnline
+  num_classes: 2
+  backbone: {{name: resnet, depth: 50}}
+  pixel_decoder:
+    conv_dim: 64
+    mask_dim: 64
+    transformer_enc_layers: 1
+    dim_feedforward: 128
+    num_heads: 4
+  transformer_decoder:
+    name: frame_embedding
+    hidden_dim: 64
+    num_queries: 8
+    nheads: 4
+    dim_feedforward: 128
+    dec_layers: 2
+    mask_dim: 64
+    clip_embed_dim: {D}
+  criterion: {{train_num_points: 128}}
+  test: {{window_inference: true, window_size: 4, topk_per_video: 5}}
+solver:
+  ims_per_batch: 1
+  max_iter: 2
+  checkpoint_period: 2
+  amp: false
+  warmup_iters: 0
+input:
+  min_size_train: [48]
+  max_size_train: 96
+  min_size_test: 48
+  max_size_test: 96
+  pad_size: [64, 96]
+  sampling_frame_num: 2
+  max_instances: 4
+  crop_enabled: false
+datasets:
+  root: {tmp_path}
+  train: [synth_cli_train]
+  test: [synth_cli_eval]
+output_dir: {tmp_path}/out
+seed: 3
+"""
+    cfg_path = tmp_path / "cli.yaml"
+    cfg_path.write_text(cfg_yaml)
+    return str(tmp_path), str(cfg_path)
+
+
+class _FakeBank:
+    def encode(self, names):
+        rng = np.random.RandomState(7)
+        t = rng.randn(len(names), D).astype(np.float32)
+        return t / np.linalg.norm(t, axis=-1, keepdims=True)
+
+
+def test_train_then_eval_cli(cli_root, monkeypatch):
+    root, cfg_path = cli_root
+    import train_net
+
+    monkeypatch.setattr(train_net, "build_text_bank", lambda cfg: _FakeBank())
+
+    monkeypatch.setattr(sys, "argv", ["train_net.py", "--config-file", cfg_path])
+    train_net.main()
+    ckpt_dir = os.path.join(root, "out", "checkpoints")
+    assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir), "no checkpoint saved"
+    assert os.path.exists(os.path.join(root, "out", "metrics.jsonl"))
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_net.py", "--config-file", cfg_path, "--eval-only",
+         "--weights", ckpt_dir],
+    )
+    train_net.main()
+    mpath = os.path.join(root, "out", "metrics_synth_cli_eval.json")
+    assert os.path.exists(mpath)
+    metrics = json.load(open(mpath))
+    assert "AP" in metrics or "num_predictions" in metrics
+    # predictions dump written next to metrics (ytvis_eval.py:136-175 parity)
+    assert os.path.exists(
+        os.path.join(root, "out", "results_synth_cli_eval.json")
+    )
