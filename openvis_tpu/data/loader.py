@@ -103,8 +103,16 @@ class TrainLoader:
             self.sources.append((records, mapper))
 
         ratios = np.asarray(cfg.datasets.dataset_ratio, np.float64)
+        if len(ratios) != len(self.sources):
+            # fail fast HERE: a mismatch inside a worker thread would kill
+            # the workers silently and leave __next__ blocked forever
+            raise ValueError(
+                f"datasets.dataset_ratio has {len(ratios)} entries for "
+                f"{len(self.sources)} train datasets {cfg.datasets.train}"
+            )
         self.probs = ratios / ratios.sum()
         self.batch_size = cfg.solver.ims_per_batch
+        self._error: Optional[BaseException] = None
         if num_workers is None:
             num_workers = cfg.dataloader.num_workers
         if prefetch is None:
@@ -141,22 +149,35 @@ class TrainLoader:
                 return s
 
     def _produce(self, rng: np.random.RandomState):
-        while True:
-            self._samples.put(self._sample(rng))
+        try:
+            while True:
+                self._samples.put(self._sample(rng))
+        except BaseException as e:  # noqa: BLE001 — propagate to __next__
+            self._error = e
 
     def _assemble(self):
         def stream():
             while True:
                 yield self._samples.get()
 
-        for batch in bucket_batches(stream(), self.batch_size):
-            self._queue.put(batch)
+        try:
+            for batch in bucket_batches(stream(), self.batch_size):
+                self._queue.put(batch)
+        except BaseException as e:  # noqa: BLE001
+            self._error = e
 
     def __iter__(self) -> Iterator[Dict]:
         return self
 
     def __next__(self) -> Dict:
-        return self._queue.get()
+        # poll so a dead worker surfaces as an exception instead of a hang
+        while True:
+            if self._error is not None:
+                raise RuntimeError("data loader worker failed") from self._error
+            try:
+                return self._queue.get(timeout=5.0)
+            except queue.Empty:
+                continue
 
 
 def test_videos(cfg: Config, dataset_name: str):

@@ -38,9 +38,21 @@ from openvis_tpu.ops.hungarian import batched_hungarian
 from openvis_tpu.ops.point_sample import (
     point_sample,
     point_sample_shared,
+    point_sample_shared_t,
     uncertain_point_coords,
 )
 from openvis_tpu.structures import ClipTargets
+
+
+def target_rows_t(targets: ClipTargets) -> jax.Array:
+    """(B, TH*TW, N*T) pre-transposed target-mask rows for repeated shared
+    point sampling — the (N*T, TH*TW) -> transpose is ~66 MB of traffic at
+    full train resolution and the criterion samples targets once per decoder
+    layer, so it is hoisted out of the per-layer loop."""
+    b, n, t = targets.masks.shape[:3]
+    th, tw = targets.masks.shape[-2:]
+    flat = targets.masks.astype(jnp.float32).reshape(b, n * t, th * tw)
+    return jnp.swapaxes(flat, 1, 2)
 
 
 @dataclass(frozen=True)
@@ -67,20 +79,25 @@ def match_costs(
     pred_masks: jax.Array,             # (B, Q, T, H, W)
     targets: ClipTargets,
     s: CriterionSettings,
+    tgt_t: Optional[jax.Array] = None,  # (B, TH*TW, N*T) from target_rows_t
 ) -> jax.Array:
     """(B, N, Q) cost matrix (rows = targets), constant rows for invalid."""
     b, q, t, h, w = pred_masks.shape
     n = targets.labels.shape[1]
     p = s.num_points
+    th, tw = targets.masks.shape[-2:]
 
     # shared random points per batch item (matcher.py:110): row-independent
     # indices -> the fast transposed row-gather sampler
     coords = jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
 
     pm = pred_masks.astype(jnp.float32).reshape(b, q * t, h, w)
-    tm = targets.masks.astype(jnp.float32).reshape(b, n * t, *targets.masks.shape[-2:])
     out_pts = jax.vmap(point_sample_shared)(pm, coords)
-    tgt_pts = jax.vmap(point_sample_shared)(tm, coords)
+    if tgt_t is None:
+        tgt_t = target_rows_t(targets)
+    tgt_pts = jax.vmap(
+        lambda ft, c: point_sample_shared_t(ft, th, tw, c)
+    )(tgt_t, coords)
     out_pts = out_pts.reshape(b, q, t * p)
     tgt_pts = tgt_pts.reshape(b, n, t * p)
 
@@ -118,9 +135,10 @@ def match(
     pred_masks: jax.Array,
     targets: ClipTargets,
     s: CriterionSettings,
+    tgt_t: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Returns assignment (B, N) int32: query index per target slot."""
-    cost = match_costs(rng, pred_logits, pred_masks, targets, s)
+    cost = match_costs(rng, pred_logits, pred_masks, targets, s, tgt_t)
     return jax.lax.stop_gradient(batched_hungarian(cost))
 
 
@@ -210,6 +228,7 @@ def _loss_masks(
     targets: ClipTargets,
     num_masks: jax.Array,
     s: CriterionSettings,
+    tgt_t: Optional[jax.Array] = None,  # (B, TH*TW, N*T) from target_rows_t
 ) -> Tuple[jax.Array, jax.Array]:
     """Point-sampled mask losses with uncertainty importance sampling
     (criterion.py:156-181).
@@ -228,9 +247,15 @@ def _loss_masks(
     )  # (B, N, T, H, W)
     rows = src.reshape(b, n * t, h, w).astype(jnp.float32)
     th, tw = targets.masks.shape[-2:]
-    tgt_rows = targets.masks.reshape(b, n * t, th, tw).astype(jnp.float32)
+    if tgt_t is None:
+        tgt_t = target_rows_t(targets)
     row_w = jnp.broadcast_to(targets.valid[:, :, None], (b, n, t)).reshape(-1)
     row_w = row_w.astype(jnp.float32)
+
+    def sample_tgt(c):
+        return jax.lax.stop_gradient(jax.vmap(
+            lambda ft, cc: point_sample_shared_t(ft, th, tw, cc)
+        )(tgt_t, c))
 
     n_sampled = int(s.num_points * s.oversample_ratio)
     n_uncertain = int(s.importance_sample_ratio * s.num_points)
@@ -238,37 +263,50 @@ def _loss_masks(
     k1, k2 = jax.random.split(rng)
     cand = jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
     cand_logits = jax.vmap(point_sample_shared)(rows, cand)      # (B, NT, S)
-    cand_labels = jax.lax.stop_gradient(
-        jax.vmap(point_sample_shared)(tgt_rows, cand)
-    )
-    # per-row top-k most uncertain candidates (uncertainty = -|logit|)
-    _, idx = jax.lax.top_k(
-        jax.lax.stop_gradient(-jnp.abs(cand_logits)), n_uncertain
-    )
-    point_logits = jnp.take_along_axis(cand_logits, idx, axis=-1)
-    point_labels = jnp.take_along_axis(cand_labels, idx, axis=-1)
+    cand_labels = sample_tgt(cand)
+    # per-row top-k most uncertain candidates (uncertainty = -|logit|),
+    # selected WITHOUT reordering: top_k on the (stop-gradient) key alone
+    # yields the k-th threshold, and the losses run densely over ALL
+    # candidates weighted by the selection mask.  No payload sort, no
+    # per-row point gathers forward, and — crucially — no serialized
+    # scatter in the backward (both the gather and sort formulations paid
+    # their cost again, transposed, in the VJP).  Identical point set as
+    # top_k barring exact |logit| ties at the threshold (random continuous
+    # points; the mean then divides by the true selected count).
+    key_unc = jax.lax.stop_gradient(-jnp.abs(cand_logits))       # (B, NT, S)
+    if n_uncertain > 0:
+        kth = jax.lax.top_k(key_unc, n_uncertain)[0][..., -1:]
+        sel = (key_unc >= kth).astype(jnp.float32)
+    else:
+        sel = jnp.zeros_like(key_unc)
+    n_sel = sel.sum(-1)                                          # (B, NT)
+
+    def losses_over(logits, labels, weight):
+        ce = _softplus(logits) - logits * labels
+        sig = jax.nn.sigmoid(logits)
+        return (
+            (ce * weight).sum(-1),
+            (sig * labels * weight).sum(-1),
+            (sig * weight).sum(-1),
+            (labels * weight).sum(-1),
+        )
+
+    ce_s, num_s, sig_s, lab_s = losses_over(cand_logits, cand_labels, sel)
     if n_random > 0:
         rnd = jax.random.uniform(k2, (b, n_random, 2), dtype=jnp.float32)
-        point_logits = jnp.concatenate(
-            [point_logits, jax.vmap(point_sample_shared)(rows, rnd)], axis=-1
-        )
-        point_labels = jnp.concatenate(
-            [point_labels, jax.lax.stop_gradient(
-                jax.vmap(point_sample_shared)(tgt_rows, rnd))], axis=-1
-        )
-    point_logits = point_logits.reshape(b * n * t, -1)
-    point_labels = point_labels.reshape(b * n * t, -1)
+        rnd_logits = jax.vmap(point_sample_shared)(rows, rnd)
+        rnd_labels = sample_tgt(rnd)
+        ce_r, num_r, sig_r, lab_r = losses_over(rnd_logits, rnd_labels, 1.0)
+        ce_s, num_s = ce_s + ce_r, num_s + num_r
+        sig_s, lab_s = sig_s + sig_r, lab_s + lab_r
+    total_pts = n_sel + n_random                                 # (B, NT)
 
-    # sigmoid CE (criterion.py:51-69)
-    ce = _softplus(point_logits) - point_logits * point_labels
-    loss_mask = (ce.mean(-1) * row_w).sum() / num_masks
+    # sigmoid CE (criterion.py:51-69): mean over the selected point set
+    loss_mask = ((ce_s / total_pts).reshape(-1) * row_w).sum() / num_masks
 
     # dice (criterion.py:26-45)
-    sig = jax.nn.sigmoid(point_logits)
-    numer = 2.0 * (sig * point_labels).sum(-1)
-    denom = sig.sum(-1) + point_labels.sum(-1)
-    dice = 1.0 - (numer + 1.0) / (denom + 1.0)
-    loss_dice = (dice * row_w).sum() / num_masks
+    dice = 1.0 - (2.0 * num_s + 1.0) / (sig_s + lab_s + 1.0)
+    loss_dice = (dice.reshape(-1) * row_w).sum() / num_masks
     return loss_mask, loss_dice
 
 
@@ -301,13 +339,15 @@ def set_criterion(
     nm = num_masks_normalizer(targets, axis_name)
     rngs = jax.random.split(rng, num_layers * 2).reshape(num_layers, 2, -1)
 
+    tgt_t = target_rows_t(targets)  # hoisted: one transpose for all layers
+
     def layer_loss(args):
         logits, masks, keys = args
         if fixed_assignment is None:
-            a = match(keys[0], logits, masks, targets, s)
+            a = match(keys[0], logits, masks, targets, s, tgt_t)
         else:
             a = fixed_assignment
-        lm, ld = _loss_masks(keys[1], masks, a, targets, nm, s)
+        lm, ld = _loss_masks(keys[1], masks, a, targets, nm, s, tgt_t)
         if logits is not None and s.use_class_loss:
             lc = _loss_labels(logits, a, targets, s)
         else:

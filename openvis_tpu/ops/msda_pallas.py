@@ -172,6 +172,127 @@ def _sample_level_pallas(value, y, x, attn, h: int, w: int, bq: int = 256,
     return out[:, :lq]
 
 
+def _level_kernel_v2(bounds_ref, y_ref, x_ref, a_ref, v_ref, out_ref,
+                     tx_ref, acc_ref,
+                     *, h: int, w: int, p: int, bq: int, wp: int, rr: int,
+                     ct):
+    """Row-block loop INSIDE the kernel: grid is (bn, nqb) only.
+
+    The v1 grid (bn, nqb, nrb) paid fixed per-program overhead for every
+    row block — 33.6k programs per 3-level encoder call, and with gating
+    most did no work.  Here the full (padded) level value lives in VMEM per
+    program and a ``fori_loop`` walks ONLY the active row-block interval
+    [lo, hi) (tent support in y is an interval, so the active set is
+    contiguous), read from the scalar-prefetched ``bounds``."""
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+
+    # hoist column tents once per (b, qb): tx[q, p, X] = tent(x_qp - X)
+    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+    for pi in range(p):
+        xq = x_ref[0, :, pi][:, None]                     # (BQ, 1)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
+        tx = jnp.where(xj < w, tx, 0.0)
+        tx_ref[pi] = tx.astype(ct)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    lo = bounds_ref[b, qb, 0]
+    hi = bounds_ref[b, qb, 1]
+
+    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+    def body(rb, carry):
+        r0 = (rb * rr).astype(jnp.float32)
+        lhs_rows = []
+        for ri in range(rr):
+            rf = r0 + ri
+            lhs = jnp.zeros((bq, wp), ct)
+            for pi in range(p):
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0, :, pi] - rf))
+                wgt = (a_ref[0, :, pi] * ty).astype(ct)[:, None]
+                lhs = lhs + wgt * tx_ref[pi]
+            lhs_rows.append(lhs)
+        lhs_all = jnp.concatenate(lhs_rows, axis=1)       # (BQ, RR*WP)
+        vblk = v_ref[0, pl.ds(rb * rr, rr)].astype(ct).reshape(rr * wp, -1)
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            lhs_all, vblk, preferred_element_type=jnp.float32, precision=prec,
+        )
+        return carry
+
+    jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _row_block_bounds(y_p, lq_blocks: int, bq: int, rr: int, nrb: int):
+    """(BN, nqb, 2) int32 [lo, hi): the contiguous active row-block interval
+    per query block — the interval hull of ``_row_block_flags``'s predicate
+    (tent support in y is an interval, so the active set is contiguous)."""
+    flags = _row_block_flags(y_p, lq_blocks, bq, rr, nrb)   # (BN, nqb, nrb)
+    any_active = flags.max(axis=-1) > 0
+    lo = jnp.argmax(flags, axis=-1).astype(jnp.int32)
+    hi = (nrb - jnp.argmax(flags[..., ::-1], axis=-1)).astype(jnp.int32)
+    lo = jnp.where(any_active, lo, 0)
+    hi = jnp.where(any_active, hi, 0)
+    return jnp.stack([lo, hi], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret"))
+def _sample_level_pallas_v2(value, y, x, attn, h: int, w: int, bq: int = 256,
+                            rr: int = 4, interpret: bool = False):
+    """v2 of ``_sample_level_pallas``: same contract, (bn, nqb) grid with the
+    in-kernel row loop (see ``_level_kernel_v2``)."""
+    bn, hw, ch = value.shape
+    lq, p = y.shape[1], y.shape[2]
+    wp = _round_up(w, 128)
+    lqp = _round_up(lq, bq)
+    hp = _round_up(h, rr)
+    ct = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+
+    v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+    v_pad = v_pad.at[:, :h, :w].set(value.reshape(bn, h, w, ch))
+
+    def pad_q(a, fill):
+        out = jnp.full((bn, lqp, p), fill, jnp.float32)
+        return out.at[:, :lq].set(a.astype(jnp.float32))
+
+    y_p = pad_q(y, -10.0)
+    x_p = pad_q(x, -10.0)
+    a_p = pad_q(attn, 0.0)
+    nrb = hp // rr
+    nqb = lqp // bq
+    bounds = _row_block_bounds(y_p, nqb, bq, rr, nrb)
+
+    kern = functools.partial(
+        _level_kernel_v2, h=h, w=w, p=p, bq=bq, wp=wp, rr=rr, ct=ct
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bn, nqb),
+        in_specs=[
+            pl.BlockSpec((1, bq, p), lambda b, q, s: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, q, s: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, q, s: (b, q, 0)),
+            pl.BlockSpec((1, hp, wp, ch), lambda b, q, s: (b, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, ch), lambda b, q, s: (b, q, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((p, bq, wp), ct),           # tx per point
+            pltpu.VMEM((bq, ch), jnp.float32),     # accumulator
+        ],
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((bn, lqp, ch), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(bounds, y_p, x_p, a_p, v_pad)
+    return out[:, :lq]
+
+
 def _dvalue_kernel(flags_ref, y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
                    *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
     """dV[j, c] = sum_q L[q, j] g[q, c] — grid (bn, row-block, q-block),
@@ -276,6 +397,204 @@ def _dcoord_kernel(flags_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
         dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
 
 
+def _dvalue_kernel_v2(flags_ref, y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
+                      *, h: int, w: int, p: int, bq: int, wp: int, rr: int,
+                      nqb: int):
+    """dValue with the q-block loop INSIDE the kernel: grid (bn, nrb) only.
+    Coordinate arrays arrive head-transposed (BN, P, LQP) so the query axis
+    is the (128-aligned) lane dim; g arrives full (1, LQP, ch) in VMEM."""
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+    r0 = (rb * rr).astype(jnp.float32)
+
+    def body(qb, carry):
+        @pl.when(flags_ref[b, rb, qb] > 0)
+        def _():
+            q0 = qb * bq
+            lhs_rows = []
+            for ri in range(rr):
+                rf = r0 + ri
+                lhs = jnp.zeros((bq, wp), jnp.float32)
+                for pi in range(p):
+                    xq = x_ref[0, pi, pl.ds(q0, bq)][:, None]
+                    tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
+                    tx = jnp.where(xj < w, tx, 0.0)
+                    yq = y_ref[0, pi, pl.ds(q0, bq)]
+                    ty = jnp.maximum(0.0, 1.0 - jnp.abs(yq - rf))
+                    aq = a_ref[0, pi, pl.ds(q0, bq)]
+                    lhs = lhs + (aq * ty)[:, None] * tx
+                lhs_rows.append(lhs)
+            lhs_all = jnp.concatenate(lhs_rows, axis=1)   # (BQ, RR*WP)
+            gq = g_ref[0, pl.ds(q0, bq), :].astype(jnp.float32)
+            acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                lhs_all, gq, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return carry
+
+    jax.lax.fori_loop(0, nqb, body, 0, unroll=False)
+    dv_ref[0] = acc_ref[:].reshape(dv_ref.shape[1:]).astype(dv_ref.dtype)
+
+
+def _dcoord_kernel_v2(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
+                      da_ref, dy_ref, dx_ref, s_da, s_dy, s_dx,
+                      *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
+    """da/dy/dx with the row-block loop INSIDE the kernel: grid (bn, nqb),
+    walking only the active [lo, hi) row-block interval (see fwd v2)."""
+    b = pl.program_id(0)
+    qb = pl.program_id(1)
+
+    s_da[:] = jnp.zeros_like(s_da)
+    s_dy[:] = jnp.zeros_like(s_dy)
+    s_dx[:] = jnp.zeros_like(s_dx)
+    lo = bounds_ref[b, qb, 0]
+    hi = bounds_ref[b, qb, 1]
+    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
+
+    def body(rb, carry):
+        vblk = v_ref[0, pl.ds(rb * rr, rr)].astype(jnp.float32).reshape(
+            rr * wp, -1
+        )
+        s = jax.lax.dot_general(
+            g, vblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(bq, rr, wp)
+        r0 = (rb * rr).astype(jnp.float32)
+        for pi in range(p):
+            xq = x_ref[0, :, pi][:, None]
+            dxx = xq - xj
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(dxx))
+            inx = jnp.logical_and(jnp.abs(dxx) < 1.0, xj < w)
+            tx = jnp.where(xj < w, tx, 0.0)
+            txp = jnp.where(inx, -jnp.sign(dxx), 0.0)
+            aq = a_ref[0, :, pi]
+            da_acc = jnp.zeros((bq,), jnp.float32)
+            dy_acc = jnp.zeros((bq,), jnp.float32)
+            dx_acc = jnp.zeros((bq,), jnp.float32)
+            for ri in range(rr):
+                rf = r0 + ri
+                dyy = y_ref[0, :, pi] - rf
+                ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+                typ = jnp.where(jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0)
+                sr = s[:, ri]
+                u = jnp.sum(tx * sr, axis=1)
+                v2 = jnp.sum(txp * sr, axis=1)
+                da_acc = da_acc + ty * u
+                dy_acc = dy_acc + typ * u
+                dx_acc = dx_acc + ty * v2
+            s_da[pi] = s_da[pi] + da_acc
+            s_dy[pi] = s_dy[pi] + aq * dy_acc
+            s_dx[pi] = s_dx[pi] + aq * dx_acc
+        return carry
+
+    jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+    da_ref[0] = s_da[:].astype(da_ref.dtype)
+    dy_ref[0] = s_dy[:].astype(dy_ref.dtype)
+    dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret"))
+def _sample_level_pallas_bwd_v2(value, y, x, attn, g, h: int, w: int,
+                                bq: int = 256, rr: int = 4,
+                                interpret: bool = False):
+    """v2 backward: same contract as ``_sample_level_pallas_bwd`` with the
+    reduction loops inside the kernels (program counts (bn, nrb) + (bn, nqb)
+    instead of (bn, nrb, nqb) x2)."""
+    bn, hw, ch = value.shape
+    lq, p = y.shape[1], y.shape[2]
+    wp = _round_up(w, 128)
+    lqp = _round_up(lq, bq)
+    hp = _round_up(h, rr)
+
+    v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+    v_pad = v_pad.at[:, :h, :w].set(value.reshape(bn, h, w, ch))
+
+    def pad_q(a, fill):
+        out = jnp.full((bn, lqp, p), fill, jnp.float32)
+        return out.at[:, :lq].set(a.astype(jnp.float32))
+
+    y_p = pad_q(y, -10.0)
+    x_p = pad_q(x, -10.0)
+    a_p = pad_q(attn, 0.0)
+    g_p = jnp.zeros((bn, lqp, ch), jnp.float32)
+    g_p = g_p.at[:, :lq].set(g.astype(jnp.float32))
+    nrb = hp // rr
+    nqb = lqp // bq
+    flags_t = jnp.swapaxes(
+        _row_block_flags(y_p, nqb, bq, rr, nrb), 1, 2
+    )                                                     # (BN, nrb, nqb)
+    bounds = _row_block_bounds(y_p, nqb, bq, rr, nrb)
+
+    # head-transposed coords: query axis on lanes (128-aligned)
+    y_t = jnp.swapaxes(y_p, 1, 2)                         # (BN, P, LQP)
+    x_t = jnp.swapaxes(x_p, 1, 2)
+    a_t = jnp.swapaxes(a_p, 1, 2)
+
+    dv_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bn, nrb),
+        in_specs=[
+            pl.BlockSpec((1, p, lqp), lambda b, r, f: (b, 0, 0)),
+            pl.BlockSpec((1, p, lqp), lambda b, r, f: (b, 0, 0)),
+            pl.BlockSpec((1, p, lqp), lambda b, r, f: (b, 0, 0)),
+            pl.BlockSpec((1, lqp, ch), lambda b, r, f: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rr, wp, ch), lambda b, r, f: (b, r, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((rr * wp, ch), jnp.float32)],
+    )
+    dv = pl.pallas_call(
+        functools.partial(_dvalue_kernel_v2, h=h, w=w, p=p, bq=bq, wp=wp,
+                          rr=rr, nqb=nqb),
+        grid_spec=dv_grid,
+        out_shape=jax.ShapeDtypeStruct((bn, hp, wp, ch), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(flags_t, y_t, x_t, a_t, g_p)
+    dvalue = dv[:, :h, :w].reshape(bn, hw, ch)
+
+    dc_grid = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bn, nqb),
+        in_specs=[
+            pl.BlockSpec((1, bq, p), lambda b, q, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, q, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, p), lambda b, q, f: (b, q, 0)),
+            pl.BlockSpec((1, bq, ch), lambda b, q, f: (b, q, 0)),
+            pl.BlockSpec((1, hp, wp, ch), lambda b, q, f: (b, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, p, bq), lambda b, q, f: (b, 0, q))
+            for _ in range(3)
+        ],
+        scratch_shapes=[pltpu.VMEM((p, bq), jnp.float32) for _ in range(3)],
+    )
+    da, dy, dx = pl.pallas_call(
+        functools.partial(_dcoord_kernel_v2, h=h, w=w, p=p, bq=bq, wp=wp,
+                          rr=rr),
+        grid_spec=dc_grid,
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, p, lqp), jnp.float32)
+            for _ in range(3)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(bounds, y_p, x_p, a_p, g_p, v_pad)
+    da = jnp.swapaxes(da, 1, 2)[:, :lq]
+    dy = jnp.swapaxes(dy, 1, 2)[:, :lq]
+    dx = jnp.swapaxes(dx, 1, 2)[:, :lq]
+    return dvalue, dy, dx, da
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret"))
 def _sample_level_pallas_bwd(value, y, x, attn, g, h: int, w: int,
                              bq: int = 256, rr: int = 4,
@@ -370,11 +689,13 @@ def ms_deform_attn_pallas_fwd(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jax.Array,   # (B, Lq, nh, nl, P, 2) in [0,1]
     attention_weights: jax.Array,    # (B, Lq, nh, nl, P)
+    level_impl=None,                 # _sample_level_pallas{,_v2}; default v2
 ) -> jax.Array:
     b, len_in, nh, ch = value.shape
     lq = sampling_locations.shape[1]
     p = sampling_locations.shape[-2]
     bn = b * nh
+    impl = level_impl if level_impl is not None else _sample_level_pallas_v2
 
     value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
     out = jnp.zeros((bn, lq, ch), jnp.float32)
@@ -391,13 +712,15 @@ def ms_deform_attn_pallas_fwd(
         def hm(a):  # (B, Lq, nh, P) -> (BN, Lq, P)
             return jnp.transpose(a, (0, 2, 1, 3)).reshape(bn, lq, p)
 
-        out = out + _sample_level_pallas(v, hm(ypix), hm(xpix), hm(attn), h, w)
+        out = out + impl(v, hm(ypix), hm(xpix), hm(attn), h, w)
     out = out.reshape(b, nh, lq, ch)
     return jnp.swapaxes(out, 1, 2).reshape(b, lq, nh * ch).astype(value.dtype)
 
 
-def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g):
-    """Pallas backward: returns (dvalue, dloc, dattn) in the primal shapes."""
+def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g,
+                              level_impl=None):
+    """Pallas backward: returns (dvalue, dloc, dattn) in the primal shapes.
+    ``level_impl`` selects ``_sample_level_pallas_bwd{,_v2}`` (default v2)."""
     b, len_in, nh, ch = value.shape
     lq = loc.shape[1]
     p = loc.shape[-2]
@@ -414,6 +737,7 @@ def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g):
     def hm_inv(a):  # (BN, Lq, P) -> (B, Lq, nh, P)
         return jnp.transpose(a.reshape(b, nh, lq, p), (0, 2, 1, 3))
 
+    impl = level_impl if level_impl is not None else _sample_level_pallas_bwd_v2
     dvalue_t = jnp.zeros_like(value_t, dtype=jnp.float32)
     dloc_parts = []
     dattn_parts = []
@@ -424,7 +748,7 @@ def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g):
         a_lvl = attn[:, :, :, lvl]
         xpix = l_lvl[..., 0] * w - 0.5
         ypix = l_lvl[..., 1] * h - 0.5
-        dv, dy, dx, da = _sample_level_pallas_bwd(
+        dv, dy, dx, da = impl(
             v, hm(ypix), hm(xpix), hm(a_lvl), g_t, h, w
         )
         dvalue_t = dvalue_t.at[:, start : start + h * w].add(dv)

@@ -57,6 +57,42 @@ def point_sample(maps: jax.Array, coords: jax.Array) -> jax.Array:
     )
 
 
+def point_sample_shared_t(
+    flat_t: jax.Array, h: int, w: int, coords: jax.Array
+) -> jax.Array:
+    """``point_sample_shared`` on a PRE-TRANSPOSED (HW, R) matrix.
+
+    Callers sampling the same maps repeatedly (the criterion samples target
+    masks once per decoder layer at fresh points) hoist the (R, HW)->(HW, R)
+    transpose — at full train resolution it is ~66 MB of traffic per call.
+    """
+    x = coords[:, 0] * w - 0.5
+    y = coords[:, 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(flat_t.dtype)
+    ly = (y - y0).astype(flat_t.dtype)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(dy, dx, wgt):
+        yy = y0i + dy
+        xx = x0i + dx
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)  # (P,)
+        g = jnp.take(flat_t, idx, axis=0)               # (P, R) row gather
+        return g * (wgt * inb.astype(flat_t.dtype))[:, None]
+
+    one = jnp.ones((), flat_t.dtype)
+    out = (
+        corner(0, 0, (one - ly) * (one - lx))
+        + corner(0, 1, (one - ly) * lx)
+        + corner(1, 0, ly * (one - lx))
+        + corner(1, 1, ly * lx)
+    )
+    return out.T                                        # (R, P)
+
+
 def point_sample_shared(maps: jax.Array, coords: jax.Array) -> jax.Array:
     """Bilinear sampling when ALL rows share one point set.
 
@@ -69,31 +105,7 @@ def point_sample_shared(maps: jax.Array, coords: jax.Array) -> jax.Array:
     """
     r, h, w = maps.shape
     flat_t = maps.reshape(r, h * w).T                   # (HW, R)
-    x = coords[:, 0] * w - 0.5
-    y = coords[:, 1] * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    lx = (x - x0).astype(maps.dtype)
-    ly = (y - y0).astype(maps.dtype)
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
-
-    def corner(dy, dx, wgt):
-        yy = y0i + dy
-        xx = x0i + dx
-        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
-        idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)  # (P,)
-        g = jnp.take(flat_t, idx, axis=0)               # (P, R) row gather
-        return g * (wgt * inb.astype(maps.dtype))[:, None]
-
-    one = jnp.ones((), maps.dtype)
-    out = (
-        corner(0, 0, (one - ly) * (one - lx))
-        + corner(0, 1, (one - ly) * lx)
-        + corner(1, 0, ly * (one - lx))
-        + corner(1, 1, ly * lx)
-    )
-    return out.T                                        # (R, P)
+    return point_sample_shared_t(flat_t, h, w, coords)
 
 
 def uncertain_point_coords(

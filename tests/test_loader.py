@@ -79,6 +79,47 @@ def tiny_ytvis_root(tmp_path):
     return str(tmp_path)
 
 
+def test_loader_ratio_mismatch_fails_fast(tiny_ytvis_root):
+    """1 train dataset + 2 ratio entries must raise at construction — in
+    round 2 this silently killed every worker thread and train_net hung
+    forever on the first batch."""
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        datasets=dataclasses.replace(
+            cfg.datasets, root=tiny_ytvis_root,
+            train=("synth_loader_train",), dataset_ratio=(1.0, 0.75),
+        ),
+    )
+    with pytest.raises(ValueError, match="dataset_ratio"):
+        TrainLoader(cfg, seed=0, num_workers=1, prefetch=1)
+
+
+def test_loader_worker_error_propagates(tiny_ytvis_root, monkeypatch):
+    """An exception inside a decode worker must surface in __next__ instead
+    of hanging the training loop."""
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        input=dataclasses.replace(
+            cfg.input, min_size_train=(48,), max_size_train=96,
+            pad_size=(64, 96), max_instances=4, sampling_frame_num=2,
+        ),
+        datasets=dataclasses.replace(
+            cfg.datasets, root=tiny_ytvis_root,
+            train=("synth_loader_train",), dataset_ratio=(1.0,),
+        ),
+        solver=dataclasses.replace(cfg.solver, ims_per_batch=2),
+    )
+    def boom(self, rng):
+        raise RuntimeError("decode exploded")
+
+    monkeypatch.setattr(TrainLoader, "_sample", boom)
+    loader = TrainLoader(cfg, seed=0, num_workers=1, prefetch=1)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(loader)
+
+
 def test_train_loader_worker_pool(tiny_ytvis_root):
     cfg = Config()
     cfg = dataclasses.replace(

@@ -17,6 +17,12 @@ def _interpret(monkeypatch):
         MP, "_sample_level_pallas",
         functools.partial(MP._sample_level_pallas.__wrapped__, interpret=True),
     )
+    monkeypatch.setattr(
+        MP, "_sample_level_pallas_v2",
+        functools.partial(
+            MP._sample_level_pallas_v2.__wrapped__, interpret=True
+        ),
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -61,3 +67,39 @@ def test_single_level_odd_sizes():
     ref = np.asarray(ms_deform_attn_xla(value, shapes, loc, attn))
     out = np.asarray(MP.ms_deform_attn_pallas_fwd(value, shapes, loc, attn))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_v1_v2_level_kernels_identical(seed):
+    """The (bn, nqb)-grid in-kernel-row-loop v2 must match v1 exactly
+    (same arithmetic, different scheduling)."""
+    rng = np.random.RandomState(seed)
+    h, w = 11, 19
+    BN, CH, P, LQ = 3, 32, 4, 300  # LQ > bq exercises multiple q-blocks
+    v = jnp.asarray(rng.randn(BN, h * w, CH).astype(np.float32))
+    y = jnp.asarray((rng.rand(BN, LQ, P) * (h + 4) - 2).astype(np.float32))
+    x = jnp.asarray((rng.rand(BN, LQ, P) * (w + 4) - 2).astype(np.float32))
+    a = jnp.asarray(rng.rand(BN, LQ, P).astype(np.float32))
+    o1 = np.asarray(MP._sample_level_pallas(v, y, x, a, h, w, bq=256))
+    o2 = np.asarray(MP._sample_level_pallas_v2(v, y, x, a, h, w, bq=256))
+    np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
+
+
+def test_row_block_bounds_cover_flags():
+    """[lo, hi) must contain every flagged row block (undershoot would drop
+    tent mass; overshoot only wastes compute)."""
+    rng = np.random.RandomState(5)
+    bq, rr, nrb, p = 8, 4, 9, 4
+    for _ in range(20):
+        y = jnp.asarray(
+            (rng.rand(2, 16, p) * (nrb * rr + 6) - 3).astype(np.float32)
+        )
+        flags = np.asarray(MP._row_block_flags(y, 2, bq, rr, nrb))
+        bounds = np.asarray(MP._row_block_bounds(y, 2, bq, rr, nrb))
+        for b in range(2):
+            for qb in range(2):
+                active = np.nonzero(flags[b, qb])[0]
+                lo, hi = bounds[b, qb]
+                if len(active):
+                    assert lo <= active.min() and hi >= active.max() + 1
+                assert 0 <= lo <= hi <= nrb

@@ -18,6 +18,12 @@ def _interpret(monkeypatch):
         MP, "_sample_level_pallas_bwd",
         functools.partial(MP._sample_level_pallas_bwd.__wrapped__, interpret=True),
     )
+    monkeypatch.setattr(
+        MP, "_sample_level_pallas_bwd_v2",
+        functools.partial(
+            MP._sample_level_pallas_bwd_v2.__wrapped__, interpret=True
+        ),
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 3])
@@ -34,7 +40,10 @@ def test_backward_matches_xla_vjp(seed):
     _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn_xla(v, shapes, l, a),
                      value, loc, attn)
     dv_ref, dl_ref, da_ref = vjp(g)
-    dv, dl, da = MP.ms_deform_attn_pallas_bwd(value, shapes, loc, attn, g)
-    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref), rtol=1e-4, atol=2e-5)
-    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), rtol=1e-4, atol=1e-5)
+    for impl in (MP._sample_level_pallas_bwd, MP._sample_level_pallas_bwd_v2):
+        dv, dl, da = MP.ms_deform_attn_pallas_bwd(
+            value, shapes, loc, attn, g, level_impl=impl
+        )
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref), rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), rtol=1e-4, atol=1e-5)

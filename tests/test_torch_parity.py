@@ -168,6 +168,107 @@ def test_biased_clip_block_matches_torch():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_criterion_losses_match_torch():
+    """Loss VALUES parity: weighted CE (eos_coef empty weight,
+    criterion.py:123-137) + point-sampled sigmoid-CE/dice with uncertainty
+    selection (criterion.py:26-69,156-181), given identical assignments and
+    identical sampled points (our shared-candidate draw replicated)."""
+    import torch.nn.functional as F
+
+    from openvis_tpu.losses.criterion import (
+        CriterionSettings,
+        _loss_labels,
+        _loss_masks,
+        match,
+    )
+    from openvis_tpu.structures import ClipTargets
+
+    rng = np.random.RandomState(6)
+    b, q, n, t, h, w, k = 2, 5, 3, 2, 16, 16, 4
+    s = CriterionSettings(
+        num_classes=k, num_points=32, oversample_ratio=3.0,
+        importance_sample_ratio=0.75,
+    )
+    logits = rng.randn(b, q, k + 1).astype(np.float32)
+    masks = (rng.randn(b, q, t, h, w) * 2).astype(np.float32)
+    tmask = (rng.rand(b, n, t, h, w) > 0.6).astype(np.float32)
+    labels = rng.randint(0, k, (b, n)).astype(np.int32)
+    valid = np.array([[True, True, False], [True, True, True]])
+    targets = ClipTargets(
+        labels=jnp.asarray(labels), masks=jnp.asarray(tmask),
+        valid=jnp.asarray(valid),
+        frame_valid=jnp.ones((b, n, t), bool),
+    )
+    key = jax.random.PRNGKey(9)
+    assignment = np.asarray(
+        match(key, jnp.asarray(logits), jnp.asarray(masks), targets, s)
+    )
+    num_masks = max(float(valid.sum()), 1.0)
+
+    ours_ce = float(_loss_labels(jnp.asarray(logits), jnp.asarray(assignment),
+                                 targets, s))
+    ours_mask, ours_dice = map(float, _loss_masks(
+        key, jnp.asarray(masks), jnp.asarray(assignment), targets,
+        jnp.asarray(num_masks), s,
+    ))
+
+    # --- torch CE with empty-class weight (criterion.py:123-137) ---
+    tc = np.full((b, q), k, np.int64)
+    for bi in range(b):
+        for ni in range(n):
+            if valid[bi, ni]:
+                tc[bi, assignment[bi, ni]] = labels[bi, ni]
+    weight = torch.ones(k + 1)
+    weight[k] = s.eos_coef
+    theirs_ce = F.cross_entropy(
+        torch.from_numpy(logits).transpose(1, 2), torch.from_numpy(tc), weight
+    )
+    np.testing.assert_allclose(ours_ce, float(theirs_ce), rtol=1e-5)
+
+    # --- torch point losses at OUR sampled points ---
+    # replicate the shared-candidate draw + per-row uncertainty top-k
+    k1, k2 = jax.random.split(key)
+    n_sampled = int(s.num_points * s.oversample_ratio)
+    n_uncertain = int(s.importance_sample_ratio * s.num_points)
+    n_random = s.num_points - n_uncertain
+    cand = np.asarray(jax.random.uniform(k1, (b, n_sampled, 2)))
+    rnd = np.asarray(jax.random.uniform(k2, (b, n_random, 2)))
+
+    def t_sample(maps, pts):
+        # maps (R, T, H, W), pts (P, 2) xy in [0,1] -> (R, T*P)
+        g = torch.from_numpy(
+            np.broadcast_to(pts[None, None], (maps.shape[0], 1, *pts.shape))
+            .copy()) * 2 - 1
+        out = F.grid_sample(torch.from_numpy(maps), g, align_corners=False)
+        return out[:, :, 0].flatten(1)
+
+    tm, td = 0.0, 0.0
+    for bi in range(b):
+        src = masks[bi][assignment[bi]]                    # (N, T, H, W)
+        srows = src.reshape(n * t, 1, h, w)
+        trows = tmask[bi].reshape(n * t, 1, h, w)
+        cl = t_sample(srows, cand[bi])                     # (NT, S)
+        tl = t_sample(trows, cand[bi])
+        idx = torch.topk(-cl.abs(), n_uncertain, dim=-1).indices
+        pl = torch.gather(cl, 1, idx)
+        plab = torch.gather(tl, 1, idx)
+        if n_random:
+            pl = torch.cat([pl, t_sample(srows, rnd[bi])], dim=1)
+            plab = torch.cat([plab, t_sample(trows, rnd[bi])], dim=1)
+        row_w = torch.from_numpy(
+            np.repeat(valid[bi].astype(np.float32), t)
+        )
+        ce = F.binary_cross_entropy_with_logits(pl, plab, reduction="none")
+        tm += float((ce.mean(-1) * row_w).sum())
+        sig = pl.sigmoid()
+        numer = 2 * (sig * plab).sum(-1)
+        denom = sig.sum(-1) + plab.sum(-1)
+        dice = 1 - (numer + 1) / (denom + 1)
+        td += float((dice * row_w).sum())
+    np.testing.assert_allclose(ours_mask, tm / num_masks, rtol=1e-4)
+    np.testing.assert_allclose(ours_dice, td / num_masks, rtol=1e-4)
+
+
 def test_resampler_temporal_layer_matches_torch():
     """One temporal-resampler layer (long post-norm self-attn over T ->
     replicate-padded conv1d k5 -> relu -> k3, residual -> LayerNorm -> FFN)

@@ -83,6 +83,7 @@ model:
     mask_dim: 64
     clip_embed_dim: {D}
   criterion: {{train_num_points: 128}}
+  clip_adapter: {{clip_ensemble: false}}
   test: {{window_inference: true, window_size: 4, topk_per_video: 5}}
 solver:
   ims_per_batch: 1
@@ -103,6 +104,7 @@ datasets:
   root: {tmp_path}
   train: [synth_cli_train]
   test: [synth_cli_eval]
+  dataset_ratio: [1.0]
 output_dir: {tmp_path}/out
 seed: 3
 """

@@ -21,7 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openvis_tpu.ops.msda_pallas import _sample_level_pallas
+from openvis_tpu.ops.msda_pallas import (
+    _sample_level_pallas,
+    _sample_level_pallas_v2,
+)
 
 
 LEVELS = [(48, 80), (24, 40), (12, 20)]
@@ -45,7 +48,10 @@ def _raster_refs():
 _REFS = _raster_refs()
 
 
-def bench_level(h, w, bq, rr, dtype, iters=20):
+def bench_level(h, w, bq, rr, dtype, iters=10, impl=_sample_level_pallas,
+                chain=4):
+    """Marginal per-call ms via chained calls in one jit (the axon tunnel
+    adds ~35ms per round trip, swamping single-call timings)."""
     rng = np.random.RandomState(0)
     v = jnp.asarray(rng.randn(BN, h * w, CH).astype(np.float32)).astype(dtype)
     # raster reference points scaled to this level + ring-init-scale offsets
@@ -55,39 +61,53 @@ def bench_level(h, w, bq, rr, dtype, iters=20):
     x = jnp.asarray((ref_x + rng.randn(BN, LQ, P) * 2).astype(np.float32))
     a = jnp.asarray(rng.rand(BN, LQ, P).astype(np.float32) / P)
 
-    def run():
-        out = _sample_level_pallas(v, y, x, a, h, w, bq=bq, rr=rr)
-        return np.asarray(out[0, 0])
+    def make(n):
+        @jax.jit
+        def fn(yy):
+            acc = jnp.zeros((), jnp.float32)
+            cur = yy
+            for _ in range(n):
+                out = impl(v, cur, x, a, h, w, bq=bq, rr=rr)
+                acc = acc + jnp.sum(out)
+                cur = yy + 1e-6 * out[..., :P]
+            return acc
+        return fn
 
-    run()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    return (time.perf_counter() - t0) / iters * 1e3
+    def t(fn):
+        np.asarray(fn(y))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(fn(y))
+        return (time.perf_counter() - t0) / iters * 1e3
+
+    t1, tc = t(make(1)), t(make(1 + chain))
+    return (tc - t1) / chain
 
 
 def main(full=False):
-    tilings = [(256, 4), (128, 4), (256, 8), (512, 4)]
+    tilings = [(256, 4), (256, 2), (256, 8), (512, 4)]
     if full:
-        tilings += [(128, 8), (256, 2), (512, 8), (1024, 4)]
-    for dtype in (jnp.bfloat16, jnp.float32):
-        for bq, rr in tilings:
-            total = 0.0
-            per = {}
-            try:
-                for (h, w) in LEVELS:
-                    ms = bench_level(h, w, bq, rr, dtype)
-                    per[f"{h}x{w}"] = round(ms, 2)
-                    total += ms
-            except Exception as e:  # noqa: BLE001
-                print(json.dumps({"bq": bq, "rr": rr,
-                                  "dtype": dtype.__name__,
-                                  "error": str(e)[:120]}))
-                continue
-            print(json.dumps({
-                "bq": bq, "rr": rr, "dtype": dtype.__name__,
-                "per_level_ms": per, "total_ms": round(total, 2),
-            }), flush=True)
+        tilings += [(128, 4), (128, 8), (512, 2), (1024, 4)]
+    impls = {"v2": _sample_level_pallas_v2, "v1": _sample_level_pallas}
+    for iname, impl in impls.items():
+        for dtype in (jnp.bfloat16,):
+            for bq, rr in tilings:
+                total = 0.0
+                per = {}
+                try:
+                    for (h, w) in LEVELS:
+                        ms = bench_level(h, w, bq, rr, dtype, impl=impl)
+                        per[f"{h}x{w}"] = round(ms, 2)
+                        total += ms
+                except Exception as e:  # noqa: BLE001
+                    print(json.dumps({"impl": iname, "bq": bq, "rr": rr,
+                                      "error": str(e)[:120]}), flush=True)
+                    continue
+                print(json.dumps({
+                    "impl": iname, "bq": bq, "rr": rr,
+                    "dtype": dtype.__name__,
+                    "per_level_ms": per, "total_ms": round(total, 2),
+                }), flush=True)
 
 
 if __name__ == "__main__":

@@ -43,8 +43,10 @@ def _time1(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters * 1e3
 
 
-def chain_kernel(n):
+def chain_kernel(n, level_impl=None):
     """n chained full 3-level msda kernel applications."""
+    from openvis_tpu.ops.msda_pallas import ms_deform_attn_pallas_fwd
+
     rng = np.random.RandomState(0)
     value = jnp.asarray(rng.randn(B, LQ, NH, CH).astype(np.float32)).astype(
         jnp.bfloat16
@@ -62,7 +64,9 @@ def chain_kernel(n):
         out = jnp.zeros((B, LQ, D), jnp.float32)
         vv = v
         for _ in range(n):
-            o = ms_deform_attn_pallas(vv, LEVELS, loc, attn)
+            o = ms_deform_attn_pallas_fwd(
+                vv, LEVELS, loc, attn, level_impl=level_impl
+            )
             out = out + o.astype(jnp.float32)
             vv = v + 1e-6 * o.reshape(B, LQ, NH, CH).astype(v.dtype)
         return jnp.sum(out)
@@ -88,11 +92,24 @@ def chain_encoder(nlayers):
 
 
 def main():
-    t1 = chain_kernel(1)
-    t4 = chain_kernel(4)
-    print(json.dumps({"stage": "kernel_1call_3lvl", "ms": round(t1, 2)}), flush=True)
-    print(json.dumps({"stage": "kernel_marginal_3lvl",
-                      "ms": round((t4 - t1) / 3, 2)}), flush=True)
+    from openvis_tpu.ops.msda_pallas import (
+        _sample_level_pallas,
+        _sample_level_pallas_v2,
+    )
+
+    for name, impl in (("v1", _sample_level_pallas),
+                       ("v2", _sample_level_pallas_v2)):
+        try:
+            t1 = chain_kernel(1, impl)
+            t4 = chain_kernel(4, impl)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"stage": f"kernel_{name}",
+                              "error": str(e)[:160]}), flush=True)
+            continue
+        print(json.dumps({"stage": f"kernel_{name}_1call_3lvl",
+                          "ms": round(t1, 2)}), flush=True)
+        print(json.dumps({"stage": f"kernel_{name}_marginal_3lvl",
+                          "ms": round((t4 - t1) / 3, 2)}), flush=True)
     e1 = chain_encoder(1)
     e6 = chain_encoder(6)
     print(json.dumps({"stage": "encoder_1layer", "ms": round(e1, 2)}), flush=True)

@@ -118,8 +118,20 @@ def main():
     bank = build_text_bank(cfg)
     text_feats = bank.encode(class_names)
 
-    mesh = make_mesh()
-    logger.info("devices: %s", jax.devices())
+    # the global batch shards over the data axis: use at most ims_per_batch
+    # devices, and require divisibility (reference build.py:26-35 asserts
+    # the same; failing later inside device_put is much harder to read)
+    if args.eval_only:
+        n_dev = len(jax.devices())     # eval shards window groups
+    else:
+        n_dev = min(len(jax.devices()), max(1, cfg.solver.ims_per_batch))
+        if cfg.solver.ims_per_batch % n_dev != 0:
+            raise SystemExit(
+                f"solver.ims_per_batch={cfg.solver.ims_per_batch} must be "
+                f"divisible by the {n_dev} devices in the data mesh"
+            )
+    mesh = make_mesh(n_dev)
+    logger.info("devices: %s (mesh uses %d)", jax.devices(), n_dev)
 
     # init with one sample batch shape; each process loads its slice of the
     # global batch (reference per-rank split, build.py:23-37)
@@ -192,10 +204,20 @@ def main():
         # frozen CLIP visual for mask-crop scoring paths (OpenVIS inference,
         # SimpleBSL ensemble)
         clip_visual_apply = None
-        if cfg.model.meta_architecture.startswith(("OpenVIS",)) or (
+        needs_clip_visual = cfg.model.meta_architecture.startswith(
+            ("OpenVIS",)
+        ) or (
             cfg.model.clip_adapter.clip_ensemble
             and cfg.model.meta_architecture.startswith("SimpleBaseline")
-        ):
+        )
+        if needs_clip_visual and not cfg.model.clip_adapter.weights:
+            raise SystemExit(
+                "this eval needs the frozen CLIP visual tower (OpenVIS "
+                "mask-crop scoring / SimpleBaseline clip_ensemble): set "
+                "model.clip_adapter.weights to a converted CLIP msgpack, "
+                "or disable model.clip_adapter.clip_ensemble"
+            )
+        if needs_clip_visual:
             from openvis_tpu.models.clip.model import (
                 CLIPVisionTransformer,
                 _MODEL_SHAPES,
