@@ -36,10 +36,8 @@ import jax.numpy as jnp
 
 from openvis_tpu.ops.hungarian import batched_hungarian
 from openvis_tpu.ops.point_sample import (
-    point_sample,
     point_sample_shared,
     point_sample_shared_t,
-    uncertain_point_coords,
 )
 from openvis_tpu.structures import ClipTargets
 

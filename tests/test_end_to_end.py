@@ -91,6 +91,29 @@ def test_train_steps_run_and_losses_finite(setup):
     assert np.abs(np.asarray(k1) - np.asarray(k0)).max() > 0
 
 
+def test_overfit_one_batch(setup):
+    """Training correctness beyond 'runs and is finite': 25 optimizer steps
+    on one fixed batch must substantially reduce the loss (the reference's
+    only equivalent signal is a full training run)."""
+    cfg, model, params, batch = setup
+    cfg = dataclasses.replace(
+        cfg, solver=dataclasses.replace(
+            cfg.solver, base_lr=5e-4, clip_value=1.0
+        ),
+    )
+    loss_fn = make_loss_fn(cfg, model, K)
+    tx = make_optimizer(cfg, params)
+    state = TrainState.create(params, tx)
+    step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=0)
+    losses = []
+    for i in range(25):
+        state, metrics = step(state, batch, jax.random.PRNGKey(7))
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < 0.7 * losses[0], (
+        f"loss did not improve: {losses[0]:.2f} -> {losses[-1]:.2f}"
+    )
+
+
 def test_amp_train_step(setup):
     """solver.amp=True runs the whole forward in bf16 (params cast at use
     time, torch-autocast equivalent); grads must come back f32 and finite."""

@@ -168,6 +168,45 @@ def test_biased_clip_block_matches_torch():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_position_encoding_matches_reference_cumsum_form():
+    """Sine PE parity vs a re-typing of the reference's cumsum-over-mask
+    construction (position_encoding.py:61-116): with a fully-valid mask the
+    cumsum is 1..N and normalization divides by the last value + eps.  Off-
+    by-one or scale drift here silently degrades every attention layer."""
+    from openvis_tpu.models.position_encoding import (
+        position_encoding_2d,
+        position_encoding_3d,
+    )
+
+    h, w, f = 7, 9, 64
+    ours = np.asarray(position_encoding_2d(h, w, f))
+
+    # reference re-typing (numpy): not_mask.cumsum -> normalize -> sin/cos
+    not_mask = np.ones((h, w), np.float32)
+    y_embed = not_mask.cumsum(0)
+    x_embed = not_mask.cumsum(1)
+    eps, scale = 1e-6, 2 * np.pi
+    y_embed = y_embed / (y_embed[-1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, -1:] + eps) * scale
+    dim_t = 10000.0 ** (2 * (np.arange(f) // 2) / f)
+    px = x_embed[..., None] / dim_t
+    py = y_embed[..., None] / dim_t
+    px = np.stack([np.sin(px[..., 0::2]), np.cos(px[..., 1::2])], -1).reshape(h, w, f)
+    py = np.stack([np.sin(py[..., 0::2]), np.cos(py[..., 1::2])], -1).reshape(h, w, f)
+    ref = np.concatenate([py, px], axis=-1)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+    # 3D: spatial halves + temporal term ADDED (position_encoding.py:118-164)
+    t = 3
+    ours3 = np.asarray(position_encoding_3d(t, h, w, 2 * f))
+    z_embed = np.arange(1, t + 1, dtype=np.float32) / (t + eps) * scale
+    dz = 10000.0 ** (2 * (np.arange(2 * f) // 2) / (2 * f))
+    pz = z_embed[:, None] / dz
+    pz = np.stack([np.sin(pz[:, 0::2]), np.cos(pz[:, 1::2])], -1).reshape(t, 2 * f)
+    ref3 = ref[None] + pz[:, None, None, :]
+    np.testing.assert_allclose(ours3, ref3, rtol=1e-5, atol=1e-6)
+
+
 def test_criterion_losses_match_torch():
     """Loss VALUES parity: weighted CE (eos_coef empty weight,
     criterion.py:123-137) + point-sampled sigmoid-CE/dice with uncertainty
