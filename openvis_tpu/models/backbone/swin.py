@@ -137,7 +137,9 @@ class SwinBlock(nn.Module):
 
         y = nn.LayerNorm(name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
-        y = nn.Dense(self.dim, name="mlp_fc2")(nn.gelu(y))
+        # exact (erf) GELU: torch nn.GELU default; flax's default is the
+        # tanh approximation, which would drift from pretrained weights
+        y = nn.Dense(self.dim, name="mlp_fc2")(nn.gelu(y, approximate=False))
         return x + drop_path(y)
 
 

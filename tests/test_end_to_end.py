@@ -104,7 +104,9 @@ def test_overfit_one_batch(setup):
     loss_fn = make_loss_fn(cfg, model, K)
     tx = make_optimizer(cfg, params)
     state = TrainState.create(params, tx)
-    step = jax.jit(make_train_step(loss_fn, tx), donate_argnums=0)
+    # NO donate_argnums here: `params` is the module-scoped fixture's tree
+    # and donation would delete its buffers for the sibling tests
+    step = jax.jit(make_train_step(loss_fn, tx))
     losses = []
     for i in range(25):
         state, metrics = step(state, batch, jax.random.PRNGKey(7))

@@ -168,6 +168,131 @@ def test_biased_clip_block_matches_torch():
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+def test_swin_shifted_block_matches_torch_retyping():
+    """One SW-MSA Swin block (shift > 0, non-window-divisible H/W) vs a torch
+    re-typing of the reference swin.py: pad -> cyclic roll -> window
+    partition -> packed-QKV attention + relative-position-bias gather +
+    cross-region mask -> reverse -> unroll -> crop -> exact-GELU MLP."""
+    import torch.nn.functional as F
+
+    from openvis_tpu.models.backbone.swin import (
+        SwinBlock,
+        _relative_position_index,
+        _shift_attn_mask,
+    )
+
+    rng = np.random.RandomState(9)
+    b, h, w, c, heads, ws = 1, 10, 13, 16, 4, 7
+    shift = ws // 2
+    x = rng.randn(b, h, w, c).astype(np.float32)
+    blk = SwinBlock(dim=c, num_heads=heads, window_size=ws, shift=shift)
+    p = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    # random rel-pos table (init is ~0 which would mask gather bugs)
+    p["attn"]["relative_position_bias_table"] = jnp.asarray(
+        rng.randn((2 * ws - 1) ** 2, heads).astype(np.float32)
+    )
+    ours = np.asarray(blk.apply({"params": p}, jnp.asarray(x)))
+
+    ph, pw = 14, 14
+    with torch.no_grad():
+        t = torch.from_numpy(x)
+        y = F.layer_norm(t, (c,),
+                         _t(p["norm1"]["scale"]), _t(p["norm1"]["bias"]))
+        y = F.pad(y, (0, 0, 0, pw - w, 0, ph - h))
+        y = torch.roll(y, (-shift, -shift), dims=(1, 2))
+        # window partition (B, ph, pw, C) -> (nW, ws*ws, C)
+        wins = (y.reshape(b, ph // ws, ws, pw // ws, ws, c)
+                 .permute(0, 1, 3, 2, 4, 5).reshape(-1, ws * ws, c))
+        qkv_w = _t(np.asarray(p["attn"]["qkv"]["kernel"]).T)
+        qkv_b = _t(p["attn"]["qkv"]["bias"])
+        qkv = wins @ qkv_w.T + qkv_b
+        n = ws * ws
+        q, k, v = qkv.reshape(-1, n, 3, heads, c // heads).permute(
+            2, 0, 3, 1, 4
+        )  # (3, nW, H, n, dh)
+        attn = (q @ k.transpose(-2, -1)) / (c // heads) ** 0.5
+        idx = torch.from_numpy(_relative_position_index(ws).reshape(-1)).long()
+        table = _t(p["attn"]["relative_position_bias_table"])
+        bias = table[idx].reshape(n, n, heads).permute(2, 0, 1)
+        attn = attn + bias[None]
+        mask = torch.from_numpy(_shift_attn_mask(ph, pw, ws, shift))
+        nw = mask.shape[0]
+        attn = attn.reshape(-1, nw, heads, n, n) + mask[None, :, None]
+        attn = attn.reshape(-1, heads, n, n).softmax(-1)
+        wins = (attn @ v).transpose(1, 2).reshape(-1, n, c)
+        proj_w = _t(np.asarray(p["attn"]["proj"]["kernel"]).T)
+        wins = wins @ proj_w.T + _t(p["attn"]["proj"]["bias"])
+        y = (wins.reshape(b, ph // ws, pw // ws, ws, ws, c)
+                 .permute(0, 1, 3, 2, 4, 5).reshape(b, ph, pw, c))
+        y = torch.roll(y, (shift, shift), dims=(1, 2))[:, :h, :w]
+        t = t + y
+        y = F.layer_norm(t, (c,),
+                         _t(p["norm2"]["scale"]), _t(p["norm2"]["bias"]))
+        fc1_w = _t(np.asarray(p["mlp_fc1"]["kernel"]).T)
+        fc2_w = _t(np.asarray(p["mlp_fc2"]["kernel"]).T)
+        y = F.gelu(y @ fc1_w.T + _t(p["mlp_fc1"]["bias"]))
+        y = y @ fc2_w.T + _t(p["mlp_fc2"]["bias"])
+        theirs = (t + y).numpy()
+
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet50_matches_torch_retyping():
+    """Full R50 trunk vs a torch re-typing of the d2 backbone (basic stem,
+    bottlenecks, STRIDE_IN_1X1=False -> stride on the 3x3, FrozenBN as
+    affine).  Random conv weights + random affines via our init; catches
+    padding/stride-placement/NHWC-conversion drift."""
+    import torch.nn.functional as F
+
+    from openvis_tpu.models.backbone.resnet import ResNet, _STAGE_BLOCKS
+
+    rng = np.random.RandomState(8)
+    model = ResNet(depth=50)
+    x = rng.randn(1, 64, 96, 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    # randomize the affines (init is 1/0 which would hide order bugs)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.asarray(
+            rng.randn(*v.shape).astype(np.float32) * 0.1 + 1.0
+        ) if "norm" in "/".join(str(getattr(k, "key", k)) for k in p) else v,
+        params,
+    )
+    feats = model.apply({"params": params}, jnp.asarray(x))
+
+    def conv(y, p, stride=1, pad=0):
+        w = torch.from_numpy(np.asarray(p["kernel"]).transpose(3, 2, 0, 1))
+        return F.conv2d(y, w, stride=stride, padding=pad)
+
+    def aff(y, p):
+        s = torch.from_numpy(np.asarray(p["scale"]))[None, :, None, None]
+        b = torch.from_numpy(np.asarray(p["bias"]))[None, :, None, None]
+        return y * s + b
+
+    with torch.no_grad():
+        y = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        y = F.relu(aff(conv(y, params["stem_conv1"], 2, 3),
+                       params["stem_norm1"]))
+        y = F.max_pool2d(y, 3, stride=2, padding=1)
+        for si, nb in enumerate(_STAGE_BLOCKS[50]):
+            name = f"res{si + 2}"
+            for b in range(nb):
+                p = params[f"{name}_block{b}"]
+                stride = 2 if (b == 0 and si > 0) else 1
+                short = y
+                if b == 0:
+                    short = aff(conv(y, p["shortcut_conv"], stride),
+                                p["shortcut_norm"])
+                z = F.relu(aff(conv(y, p["conv1"], 1), p["norm1"]))
+                z = F.relu(aff(conv(z, p["conv2"], stride, 1), p["norm2"]))
+                z = aff(conv(z, p["conv3"], 1), p["norm3"])
+                y = F.relu(z + short)
+            np.testing.assert_allclose(
+                np.asarray(feats[name]),
+                y.permute(0, 2, 3, 1).numpy(),
+                rtol=1e-3, atol=1e-3,
+            )
+
+
 def test_position_encoding_matches_reference_cumsum_form():
     """Sine PE parity vs a re-typing of the reference's cumsum-over-mask
     construction (position_encoding.py:61-116): with a fully-valid mask the
