@@ -13,7 +13,7 @@ log space: ``exp(log_softmax(base)[..., :1] + log_softmax(clip))[:, :-1]``
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ scatter-add (no host code, no atomics).
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,15 +14,12 @@ import jax
 import jax.numpy as jnp
 
 from openvis_tpu.config import Config
-from openvis_tpu.losses.criterion import CriterionSettings
 from openvis_tpu.models.meta.simple_baseline import (
     SimpleBaselineModel,
     eval_scores,
     simple_baseline_loss,
 )
 from openvis_tpu.models.postprocess import inference_video_topk
-from openvis_tpu.models.tracking import align_outputs
-from openvis_tpu.structures import ClipTargets
 
 
 def build_model(cfg: Config):

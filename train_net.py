@@ -103,7 +103,7 @@ def main():
         make_optimizer,
         make_train_step,
     )
-    from openvis_tpu.train import build_model, init_model, make_loss_fn
+    from openvis_tpu.train import init_model, make_loss_fn
 
     cfg = load_config(args.config_file, args.opts)
     out_dir = cfg.output_dir
