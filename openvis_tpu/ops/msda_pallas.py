@@ -237,28 +237,43 @@ def _row_block_bounds(y_p, lq_blocks: int, bq: int, rr: int, nrb: int):
     return jnp.stack([lo, hi], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret"))
+@functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret",
+                                             "pre_padded"))
 def _sample_level_pallas_v2(value, y, x, attn, h: int, w: int, bq: int = 256,
-                            rr: int = 4, interpret: bool = False):
+                            rr: int = 4, interpret: bool = False,
+                            pre_padded: bool = False):
     """v2 of ``_sample_level_pallas``: same contract, (bn, nqb) grid with the
-    in-kernel row loop (see ``_level_kernel_v2``)."""
+    in-kernel row loop (see ``_level_kernel_v2``).
+
+    ``pre_padded``: y/x/a already have the query axis padded to a multiple
+    of ``bq`` with tent-dead fills (y/x <= -9 pixels, attn 0) — the 3-level
+    caller pads the shared coordinate tensors once instead of per level."""
     bn, hw, ch = value.shape
-    lq, p = y.shape[1], y.shape[2]
+    p = y.shape[2]
     wp = _round_up(w, 128)
-    lqp = _round_up(lq, bq)
     hp = _round_up(h, rr)
     ct = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
 
     v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
     v_pad = v_pad.at[:, :h, :w].set(value.reshape(bn, h, w, ch))
 
-    def pad_q(a, fill):
-        out = jnp.full((bn, lqp, p), fill, jnp.float32)
-        return out.at[:, :lq].set(a.astype(jnp.float32))
+    if pre_padded:
+        lq = lqp = y.shape[1]
+        assert lqp % bq == 0
+        y_p = y
+        x_p = x
+        a_p = attn
+    else:
+        lq = y.shape[1]
+        lqp = _round_up(lq, bq)
 
-    y_p = pad_q(y, -10.0)
-    x_p = pad_q(x, -10.0)
-    a_p = pad_q(attn, 0.0)
+        def pad_q(a, fill):
+            out = jnp.full((bn, lqp, p), fill, jnp.float32)
+            return out.at[:, :lq].set(a.astype(jnp.float32))
+
+        y_p = pad_q(y, -10.0)
+        x_p = pad_q(x, -10.0)
+        a_p = pad_q(attn, 0.0)
     nrb = hp // rr
     nqb = lqp // bq
     bounds = _row_block_bounds(y_p, nqb, bq, rr, nrb)
@@ -693,12 +708,45 @@ def ms_deform_attn_pallas_fwd(
 ) -> jax.Array:
     b, len_in, nh, ch = value.shape
     lq = sampling_locations.shape[1]
+    nl = len(spatial_shapes)
     p = sampling_locations.shape[-2]
     bn = b * nh
     impl = level_impl if level_impl is not None else _sample_level_pallas_v2
 
     value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
     out = jnp.zeros((bn, lq, ch), jnp.float32)
+
+    if impl is _sample_level_pallas_v2:
+        # shared prep across levels: ONE head-major transpose + ONE query-
+        # axis padding for the whole (nl, p) coordinate block, instead of
+        # per-level transposes/pads (the per-call prep was a measurable
+        # share of the 3-call cost; see BASELINE.md round-2 notes)
+        bq = 256
+        lqp = _round_up(lq, bq)
+        loc_t = jnp.swapaxes(sampling_locations, 1, 2).reshape(
+            bn, lq, nl, p, 2
+        )
+        attn_t = jnp.swapaxes(attention_weights, 1, 2).reshape(bn, lq, nl, p)
+        locp = jnp.full((bn, lqp, nl, p, 2), -10.0, jnp.float32)
+        locp = locp.at[:, :lq].set(loc_t.astype(jnp.float32))
+        attnp = jnp.zeros((bn, lqp, nl, p), jnp.float32)
+        attnp = attnp.at[:, :lq].set(attn_t.astype(jnp.float32))
+        start = 0
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            v = value_t[:, start : start + h * w]
+            start += h * w
+            # pixel coords (grid_sample align_corners=False); padded queries
+            # land at -10*size - 0.5 (tent-dead, below the -9 bounds cutoff)
+            y_p = locp[:, :, lvl, :, 1] * h - 0.5
+            x_p = locp[:, :, lvl, :, 0] * w - 0.5
+            out = out + impl(
+                v, y_p, x_p, attnp[:, :, lvl], h, w, bq=bq, pre_padded=True
+            )[:, :lq]
+        out = out.reshape(b, nh, lq, ch)
+        return jnp.swapaxes(out, 1, 2).reshape(b, lq, nh * ch).astype(
+            value.dtype
+        )
+
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
         v = value_t[:, start : start + h * w]
