@@ -77,6 +77,31 @@ def test_ema_path_still_runs():
         assert sorted(idx[0, ti].tolist()) == list(range(8))
 
 
+def test_ema_path_matches_numpy_reference():
+    """OV2Seg's EMA tracker (alpha=0.7 blend of the carried reference,
+    ov2seg.py:926-934): exact equivalence to a numpy re-typing of the
+    sequential carry solve."""
+    rng = np.random.RandomState(6)
+    b, t, q, c = 2, 5, 10, 12
+    alpha = 0.7
+    embeds = rng.randn(b, t, q, c).astype(np.float32)
+    ours = np.asarray(track_by_embeds(jnp.asarray(embeds), ema_alpha=alpha))
+
+    e = _normalize(embeds)
+    want = np.zeros((b, t, q), np.int32)
+    for bi in range(b):
+        carry = e[bi, 0]
+        for ti in range(t):
+            cos = _normalize(carry) @ e[bi, ti].T
+            idx = np.asarray(
+                batched_hungarian(jnp.asarray(1.0 - cos)[None])
+            )[0]
+            want[bi, ti] = idx
+            aligned = e[bi, ti][idx]
+            carry = alpha * aligned + (1.0 - alpha) * carry
+    np.testing.assert_array_equal(ours, want)
+
+
 def test_align_outputs_shapes_and_consistency():
     rng = np.random.RandomState(4)
     b, t, q, c, h, w = 1, 3, 5, 8, 6, 6
