@@ -308,6 +308,170 @@ def _sample_level_pallas_v2(value, y, x, attn, h: int, w: int, bq: int = 256,
     return out[:, :lq]
 
 
+def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
+                         levels, p: int, bq: int, rr: int, ct):
+    """ALL levels of one MSDA call in ONE kernel: grid (bn, nqb).
+
+    v3 of the level kernels.  v2 launched one ``pallas_call`` per level, so
+    per layer the 3 calls repeated the pallas setup, fetched the (padded)
+    coordinate block 3x, produced 3 separate (BN, LQP, ch) f32 outputs, and
+    left XLA to sum them (2 extra full read+write passes over the output).
+    Here the static level loop runs INSIDE the kernel: one launch, one
+    coordinate fetch, one accumulator, one output — matching the CUDA
+    reference, whose single ``ms_deformable_im2col`` launch services all
+    levels per block (ms_deform_im2col_cuda.cuh:243-330).
+
+    ``levels`` is a static tuple of (h, w, wp) per level; ``v_refs[l]`` is
+    that level's zero-padded (1, hp_l, wp_l, ch) value block.  Per level the
+    column tents are hoisted into scratch and a ``fori_loop`` walks only the
+    active row-block interval from ``bounds`` — same row gating as v2,
+    shared across levels.  ``bounds`` arrives as a per-program (1, 1, nl, 2)
+    SMEM BLOCK, not scalar-prefetched: the full (BN, nqb, nl, 2) array
+    overflows SMEM at encoder scale (bn=80: 38 KB; Mosaic rejected the
+    prefetch form there while v2's (BN, nqb, 2) still fit)."""
+    nl = len(levels)
+    v_refs = refs[:nl]
+    out_ref, tx_ref, acc_ref = refs[nl], refs[nl + 1], refs[nl + 2]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+
+    for lvl, (h, w, wp) in enumerate(levels):
+        # hoist column tents for this level: tx[q, p, X] = tent(x_qp - X).
+        # No `X < w` gating: padded columns hold ZERO values, so stray tent
+        # mass there contributes exactly +0.0 to the dot — dropping the mask
+        # saves 2 wide VPU ops per point per level at identical output
+        xj = jax.lax.broadcasted_iota(
+            jnp.int32, (bq, wp), 1
+        ).astype(jnp.float32)
+        for pi in range(p):
+            xq = x_ref[0, :, lvl * p + pi][:, None]       # (BQ, 1)
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
+            tx_ref[pi, :, :wp] = tx.astype(ct)
+
+        lo = bounds_ref[0, 0, lvl, 0]
+        hi = bounds_ref[0, 0, lvl, 1]
+
+        def body(rb, carry, lvl=lvl, h=h, w=w, wp=wp):
+            r0 = (rb * rr).astype(jnp.float32)
+            lhs_rows = []
+            for ri in range(rr):
+                rf = r0 + ri
+                lhs = jnp.zeros((bq, wp), ct)
+                for pi in range(p):
+                    ty = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(y_ref[0, :, lvl * p + pi] - rf)
+                    )
+                    wgt = (a_ref[0, :, lvl * p + pi] * ty).astype(ct)[:, None]
+                    lhs = lhs + wgt * tx_ref[pi, :, :wp]
+                lhs_rows.append(lhs)
+            lhs_all = jnp.concatenate(lhs_rows, axis=1)   # (BQ, RR*WP)
+            vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
+                rr * wp, -1
+            )
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                lhs_all, vblk, preferred_element_type=jnp.float32,
+                precision=prec,
+            )
+            return carry
+
+        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+
+    out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
+                                             "interpret"))
+def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
+                interpret: bool = False):
+    """Fused all-level MSDA forward (see ``_fused_levels_kernel``).
+
+    value: (B, Len_in, nh, ch); loc: (B, Lq, nh, nl, P, 2) in [0,1];
+    attn: (B, Lq, nh, nl, P) -> (B, Lq, nh*ch) in value.dtype."""
+    b, len_in, nh, ch = value.shape
+    lq = loc.shape[1]
+    nl = len(spatial_shapes)
+    p = loc.shape[-2]
+    bn = b * nh
+    ct = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+    lqp = _round_up(lq, bq)
+    nqb = lqp // bq
+
+    value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
+    loc_t = jnp.swapaxes(loc, 1, 2).reshape(bn, lq, nl, p, 2)
+    attn_t = jnp.swapaxes(attn, 1, 2).reshape(bn, lq, nl, p)
+
+    # per-level pixel coords (grid_sample align_corners=False: loc*size-0.5),
+    # query axis padded once for all levels; pads are tent-dead (-10 px)
+    hs = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    ws = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    y_all = jnp.full((bn, lqp, nl, p), -10.0, jnp.float32)
+    x_all = jnp.full((bn, lqp, nl, p), -10.0, jnp.float32)
+    a_all = jnp.zeros((bn, lqp, nl, p), jnp.float32)
+    y_all = y_all.at[:, :lq].set(
+        loc_t[..., 1].astype(jnp.float32) * hs[:, None] - 0.5
+    )
+    x_all = x_all.at[:, :lq].set(
+        loc_t[..., 0].astype(jnp.float32) * ws[:, None] - 0.5
+    )
+    a_all = a_all.at[:, :lq].set(attn_t.astype(jnp.float32))
+
+    v_pads = []
+    level_meta = []
+    bounds = []
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        hp = _round_up(h, rr)
+        wp = _round_up(w, 128)
+        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+        v_pad = v_pad.at[:, :h, :w].set(
+            value_t[:, start : start + h * w].reshape(bn, h, w, ch)
+        )
+        start += h * w
+        v_pads.append(v_pad)
+        level_meta.append((h, w, wp))
+        bounds.append(_row_block_bounds(y_all[:, :, lvl], nqb, bq, rr,
+                                        hp // rr))
+    bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
+    wp_max = max(wp for _, _, wp in level_meta)
+
+    y_flat = y_all.reshape(bn, lqp, nl * p)
+    x_flat = x_all.reshape(bn, lqp, nl * p)
+    a_flat = a_all.reshape(bn, lqp, nl * p)
+
+    kern = functools.partial(
+        _fused_levels_kernel, levels=tuple(level_meta), p=p, bq=bq, rr=rr,
+        ct=ct,
+    )
+    coord_spec = pl.BlockSpec((1, bq, nl * p), lambda b, q: (b, q, 0))
+    out = pl.pallas_call(
+        kern,
+        grid=(bn, nqb),
+        in_specs=[
+            pl.BlockSpec((1, 1, nl, 2), lambda b, q: (b, q, 0, 0),
+                         memory_space=pltpu.SMEM),
+            coord_spec, coord_spec, coord_spec,
+        ] + [
+            pl.BlockSpec((1, vp.shape[1], vp.shape[2], ch),
+                         lambda b, q: (b, 0, 0, 0))
+            for vp in v_pads
+        ],
+        out_specs=pl.BlockSpec((1, bq, ch), lambda b, q: (b, q, 0)),
+        out_shape=jax.ShapeDtypeStruct((bn, lqp, ch), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((p, bq, wp_max), ct),       # tx per point (per level)
+            pltpu.VMEM((bq, ch), jnp.float32),     # cross-level accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(bounds_all, y_flat, x_flat, a_flat, *v_pads)
+    out = out[:, :lq].reshape(b, nh, lq, ch)
+    return jnp.swapaxes(out, 1, 2).reshape(b, lq, nh * ch).astype(value.dtype)
+
+
 def _dvalue_kernel(flags_ref, y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
                    *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
     """dV[j, c] = sum_q L[q, j] g[q, c] — grid (bn, row-block, q-block),
@@ -706,12 +870,28 @@ def ms_deform_attn_pallas_fwd(
     attention_weights: jax.Array,    # (B, Lq, nh, nl, P)
     level_impl=None,                 # _sample_level_pallas{,_v2}; default v2
 ) -> jax.Array:
+    if level_impl is None:
+        # default: the fused all-level kernel (one launch per MSDA call) —
+        # unless the combined per-program VMEM residency of ALL level value
+        # blocks (lanes padded to 128, x2 pipeline buffers) would crowd the
+        # ~16 MB VMEM; then fall back to the per-level v2 kernels
+        ch = value.shape[-1]
+        esz = 2 if value.dtype == jnp.bfloat16 else 4
+        vmem = sum(
+            _round_up(h, 4) * _round_up(w, 128) * _round_up(ch, 128) * esz * 2
+            for h, w in spatial_shapes
+        )
+        if vmem <= 12 * 1024 * 1024:
+            return _msda_fused(value, sampling_locations, attention_weights,
+                               tuple(tuple(s) for s in spatial_shapes))
+        level_impl = _sample_level_pallas_v2
+
     b, len_in, nh, ch = value.shape
     lq = sampling_locations.shape[1]
     nl = len(spatial_shapes)
     p = sampling_locations.shape[-2]
     bn = b * nh
-    impl = level_impl if level_impl is not None else _sample_level_pallas_v2
+    impl = level_impl
 
     value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
     out = jnp.zeros((bn, lq, ch), jnp.float32)

@@ -23,6 +23,10 @@ def _interpret(monkeypatch):
             MP._sample_level_pallas_v2.__wrapped__, interpret=True
         ),
     )
+    monkeypatch.setattr(
+        MP, "_msda_fused",
+        functools.partial(MP._msda_fused.__wrapped__, interpret=True),
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -83,6 +87,27 @@ def test_v1_v2_level_kernels_identical(seed):
     o1 = np.asarray(MP._sample_level_pallas(v, y, x, a, h, w, bq=256))
     o2 = np.asarray(MP._sample_level_pallas_v2(v, y, x, a, h, w, bq=256))
     np.testing.assert_allclose(o2, o1, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [0, 7])
+def test_fused_matches_per_level_v2(seed):
+    """The fused all-level kernel (default path) must match the per-level v2
+    composition exactly — same arithmetic, one launch."""
+    rng = np.random.RandomState(seed)
+    shapes = ((12, 20), (6, 10), (3, 5))
+    L = sum(h * w for h, w in shapes)
+    B, NH, CH, P, LQ = 2, 2, 32, 4, 300  # LQ > bq exercises multiple q-blocks
+    value = jnp.asarray(rng.randn(B, L, NH, CH).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, LQ, NH, 3, P, 2) * 1.3 - 0.15)
+                      .astype(np.float32))
+    attn = jnp.asarray(rng.rand(B, LQ, NH, 3, P).astype(np.float32))
+    ref = np.asarray(MP.ms_deform_attn_pallas_fwd(
+        value, shapes, loc, attn, level_impl=MP._sample_level_pallas_v2
+    ))
+    out = np.asarray(MP.ms_deform_attn_pallas_fwd(value, shapes, loc, attn))
+    np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+    xla = np.asarray(ms_deform_attn_xla(value, shapes, loc, attn))
+    np.testing.assert_allclose(out, xla, rtol=1e-4, atol=1e-5)
 
 
 def test_row_block_bounds_cover_flags():
