@@ -50,16 +50,23 @@ def brownian_bridge_loss(
     x_pos = e_mid - (1 - alpha) * head - alpha * tail
     d_pos = -jnp.sum(x_pos ** 2, axis=-1) / (2 * sigma ** 2)  # (n,)
 
-    # negatives: every other track's embedding at OUR mid index
-    # neg_mid[i, j] = e_j[mid_i]  -> (n, n, c)
-    neg_mid = e[None, :, :, :]                        # (1, n, t, c)
-    neg_mid = jnp.take_along_axis(
-        jnp.broadcast_to(neg_mid, (n, n, t, c)),
-        mid[:, None, None, None].repeat(n, 1).repeat(c, -1),
-        axis=2,
-    )[:, :, 0]
-    x_neg = neg_mid - (1 - alpha[:, None]) * head[:, None] - alpha[:, None] * tail[:, None]
-    d_neg = -jnp.sum(x_neg ** 2, axis=-1) / (2 * sigma[:, None] ** 2)  # (n, n)
+    # negatives: every other track's embedding at OUR mid index.
+    # ||e_j[mid_i] - proj_i||^2 expands to ||e_j[mid_i]||^2 + ||proj_i||^2
+    # - 2 e_j[mid_i].proj_i, so the (n, n) distance matrix needs only two
+    # matmul-shaped contractions — never the (n, n, t, c) tensor the naive
+    # gather materializes (at the reference recipe's global pool, b=16 q=100
+    # t=3 c=256 -> n=1600, that tensor is ~7.9 GB; ``concat_all_gather`` in
+    # the reference pools embeddings only, brownian_criterion.py:72-78).
+    proj = (1 - alpha) * head + alpha * tail           # (n, c)
+    onehot_mid = jax.nn.one_hot(mid, t, dtype=jnp.float32)  # (n, t)
+    # dots[i, j] = proj_i . e_j[mid_i] via (n, n*t) matmul + one-hot select
+    dots_all = jnp.einsum("ic,jtc->ijt", proj, e)      # (n, n, t)
+    dots = jnp.einsum("ijt,it->ij", dots_all, onehot_mid)
+    # ||e_j[t]||^2 is ~1 after normalization but kept exact (the eps in the
+    # normalizer makes it (1 - eps)^2-ish)
+    nsq = onehot_mid @ jnp.sum(e * e, axis=-1).T       # (n, n): ||e_j[mid_i]||^2
+    psq = jnp.sum(proj * proj, axis=-1)[:, None]       # (n, 1)
+    d_neg = -(nsq + psq - 2.0 * dots) / (2 * sigma[:, None] ** 2)  # (n, n)
     d_neg = d_neg.at[jnp.arange(n), jnp.arange(n)].set(-10000.0)
     d_top, _ = jax.lax.top_k(d_neg, min(topk, n - 1) if n > 1 else 1)
 

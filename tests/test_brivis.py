@@ -82,6 +82,56 @@ def test_brownian_loss_shapes_and_sanity():
     assert float(bc_lin) < float(bc) + 1e-3
 
 
+def _brownian_naive(rng, embeds, delta=0.3, topk=5, neg_log=True):
+    """Reference-shaped oracle: materializes the (n, n, t, c) negative tensor
+    exactly as the round-2 implementation (and the torch reference's
+    per-pair expansion) did.  Only usable at small n."""
+    b, t, q, c = embeds.shape
+    n = b * q
+    e = jnp.transpose(embeds, (0, 2, 1, 3)).reshape(n, t, c)
+    e = e / (jnp.linalg.norm(e, axis=-1, keepdims=True) + 1e-6)
+    mid = jax.random.randint(rng, (n,), 1, t - 1)
+    head, tail = e[:, 0], e[:, -1]
+    alpha = (mid.astype(jnp.float32) / (t - 1))[:, None]
+    sigma = alpha[:, 0] * ((t - 1) - mid.astype(jnp.float32))
+    e_mid = jnp.take_along_axis(e, mid[:, None, None].repeat(c, -1), axis=1)[:, 0]
+    x_pos = e_mid - (1 - alpha) * head - alpha * tail
+    d_pos = -jnp.sum(x_pos ** 2, axis=-1) / (2 * sigma ** 2)
+    neg_mid = jnp.take_along_axis(
+        jnp.broadcast_to(e[None], (n, n, t, c)),
+        mid[:, None, None, None].repeat(n, 1).repeat(c, -1), axis=2,
+    )[:, :, 0]
+    x_neg = (neg_mid - (1 - alpha[:, None]) * head[:, None]
+             - alpha[:, None] * tail[:, None])
+    d_neg = -jnp.sum(x_neg ** 2, axis=-1) / (2 * sigma[:, None] ** 2)
+    d_neg = d_neg.at[jnp.arange(n), jnp.arange(n)].set(-10000.0)
+    d_top, _ = jax.lax.top_k(d_neg, min(topk, n - 1) if n > 1 else 1)
+    numer = jnp.exp(d_pos)
+    ratio = numer / (numer + jnp.exp(d_top).sum(-1))
+    return -jnp.log(ratio + 1e-12).mean() if neg_log else ratio.mean()
+
+
+def test_brownian_matmul_negatives_match_naive():
+    """The matmul-form (n, n) negative distances must match the naive
+    (n, n, t, c) expansion the reference implies (brownian_criterion.py:72-90)."""
+    rng = np.random.RandomState(7)
+    for seed in (0, 1):
+        e = jnp.asarray(rng.randn(3, 5, 4, 16).astype(np.float32))
+        bc, _ = brownian_bridge_loss(jax.random.PRNGKey(seed), e)
+        bc_ref = _brownian_naive(jax.random.PRNGKey(seed), e)
+        np.testing.assert_allclose(float(bc), float(bc_ref), rtol=2e-5,
+                                   atol=2e-5)
+
+
+def test_brownian_at_reference_recipe_scale():
+    """b=16, q=100, t=3, c=256 -> n=1600 global negative pool: the naive
+    form needs ~7.9 GB and OOMs; the matmul form must run (peak ~tens of MB)."""
+    rng = np.random.RandomState(1)
+    e = jnp.asarray(rng.randn(16, 3, 100, 256).astype(np.float32))
+    bc, htm = jax.jit(brownian_bridge_loss)(jax.random.PRNGKey(0), e)
+    assert np.isfinite(float(bc)) and np.isfinite(float(htm))
+
+
 import pytest
 
 
