@@ -268,3 +268,69 @@ def test_timm_resnet_conversion_matches_init_tree():
     # same structure as the d2 converter over the synthetic d2 state
     d2_tree = convert_resnet(_d2_state(np.random.RandomState(1)))
     assert _tree_spec(tree) == _tree_spec(d2_tree)
+
+
+def test_swin_conversion_round_trip():
+    """convert_swin: a d2-layout Swin state built by INVERTING the conversion
+    from a flax init must convert back to the identical tree (pins every
+    transpose), and the converted params must run.  Matches the checkpoints
+    the reference swin recipes load (swin/*.yaml:17)."""
+    from openvis_tpu.models.backbone.swin import SWIN_SHAPES, SwinTransformer
+    from tools.convert_weights import convert_swin
+
+    shape = dict(SWIN_SHAPES["tiny"])
+    model = SwinTransformer(**shape)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3)
+                    .astype(np.float32))
+    init = model.init(jax.random.PRNGKey(0), x)["params"]
+
+    d = {}
+
+    def lin(name, p):
+        d[f"{name}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+        if "bias" in p:
+            d[f"{name}.bias"] = np.asarray(p["bias"])
+
+    def norm(name, p):
+        d[f"{name}.weight"] = np.asarray(p["scale"])
+        d[f"{name}.bias"] = np.asarray(p["bias"])
+
+    d["backbone.patch_embed.proj.weight"] = np.asarray(
+        init["patch_embed"]["kernel"]
+    ).transpose(3, 2, 0, 1)
+    d["backbone.patch_embed.proj.bias"] = np.asarray(
+        init["patch_embed"]["bias"]
+    )
+    norm("backbone.patch_embed.norm", init["patch_norm"])
+    depths = shape["depths"]
+    for si, nb in enumerate(depths):
+        for bi in range(nb):
+            blk = init[f"stage{si}_block{bi}"]
+            pre = f"backbone.layers.{si}.blocks.{bi}"
+            norm(f"{pre}.norm1", blk["norm1"])
+            norm(f"{pre}.norm2", blk["norm2"])
+            lin(f"{pre}.attn.qkv", blk["attn"]["qkv"])
+            lin(f"{pre}.attn.proj", blk["attn"]["proj"])
+            d[f"{pre}.attn.relative_position_bias_table"] = np.asarray(
+                blk["attn"]["relative_position_bias_table"]
+            )
+            lin(f"{pre}.mlp.fc1", blk["mlp_fc1"])
+            lin(f"{pre}.mlp.fc2", blk["mlp_fc2"])
+        if si < len(depths) - 1:
+            ds = init[f"downsample{si}"]
+            norm(f"backbone.layers.{si}.downsample.norm", ds["norm"])
+            d[f"backbone.layers.{si}.downsample.reduction.weight"] = (
+                np.ascontiguousarray(np.asarray(ds["reduction"]["kernel"]).T)
+            )
+        norm(f"backbone.norm{si}", init[f"out_norm{si}"])
+
+    tree = convert_swin(d, "tiny")
+    assert _tree_spec(tree) == _tree_spec(init)
+    flat_init = dict(jax.tree_util.tree_leaves_with_path(init))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_init[path]),
+            err_msg=jax.tree_util.keystr(path),
+        )
+    out = model.apply({"params": tree}, x)
+    assert np.isfinite(np.asarray(out["res5"])).all()

@@ -106,6 +106,52 @@ def convert_resnet(d: Dict[str, np.ndarray], depth: int = 50) -> Dict:
     return out
 
 
+def convert_swin(d: Dict[str, np.ndarray], size: str = "base") -> Dict:
+    """d2 Mask2Former Swin checkpoint -> ``models/backbone/swin.py`` tree.
+
+    Key layout per the reference's vendored Swin
+    (``openvis/modeling/backbone/swin.py:551-614``): ``backbone.patch_embed.
+    {proj,norm}``, ``backbone.layers.{i}.blocks.{j}.{norm1,attn,norm2,mlp}``,
+    ``backbone.layers.{i}.downsample.{reduction,norm}``, and per-output-stage
+    ``backbone.norm{i}``.  The relative_position_bias_table copies verbatim
+    (same ((2ws-1)^2, nH) layout); ``relative_position_index`` is a constant
+    buffer we rebuild from numpy at trace time and is skipped."""
+    from openvis_tpu.models.backbone.swin import SWIN_SHAPES
+
+    depths = SWIN_SHAPES[size]["depths"]
+    out = {
+        "patch_embed": _conv(d, "backbone.patch_embed.proj"),
+        "patch_norm": _norm(d, "backbone.patch_embed.norm"),
+    }
+    for si, nb in enumerate(depths):
+        for bi in range(nb):
+            pre = f"backbone.layers.{si}.blocks.{bi}"
+            out[f"stage{si}_block{bi}"] = {
+                "norm1": _norm(d, f"{pre}.norm1"),
+                "attn": {
+                    "qkv": _lin(d, f"{pre}.attn.qkv"),
+                    "proj": _lin(d, f"{pre}.attn.proj"),
+                    "relative_position_bias_table": d[
+                        f"{pre}.attn.relative_position_bias_table"
+                    ],
+                },
+                "norm2": _norm(d, f"{pre}.norm2"),
+                "mlp_fc1": _lin(d, f"{pre}.mlp.fc1"),
+                "mlp_fc2": _lin(d, f"{pre}.mlp.fc2"),
+            }
+        if si < len(depths) - 1:
+            out[f"downsample{si}"] = {
+                "norm": _norm(d, f"backbone.layers.{si}.downsample.norm"),
+                "reduction": {
+                    "kernel": np.ascontiguousarray(
+                        d[f"backbone.layers.{si}.downsample.reduction.weight"].T
+                    ),
+                },
+            }
+        out[f"out_norm{si}"] = _norm(d, f"backbone.norm{si}")
+    return out
+
+
 def convert_timm_resnet(d: Dict[str, np.ndarray], depth: int = 50) -> Dict:
     """timm ResNet-50 (the IN21k weights OV2Seg's ``CustomResNet`` loads,
     ``ov2seg.py:45-134``) -> the same backbone tree as :func:`convert_resnet`,
@@ -241,11 +287,22 @@ def convert_mask2former(
     enc_layers: int = 6,
     dec_layers: int = 9,
     head: str = "class",
+    backbone: str = "resnet",
+    swin_size: str = "base",
 ) -> Dict:
-    """Full segmenter tree: {backbone, pixel_decoder, predictor}."""
+    """Full segmenter tree: {backbone, pixel_decoder, predictor}.
+
+    ``backbone='swin'`` converts the Swin checkpoints the reference's swin
+    recipes start from (``configs/openvoc_ytvis_coco/swin/*.yaml:17``:
+    Mask2Former SwinB/L COCO-instance)."""
     state = migrate_legacy_keys(state)
+    bb = (
+        convert_swin(state, swin_size)
+        if backbone == "swin"
+        else convert_resnet(state, depth)
+    )
     return {
-        "backbone": convert_resnet(state, depth),
+        "backbone": bb,
         "pixel_decoder": convert_pixel_decoder(state, enc_layers),
         "predictor": convert_predictor(state, dec_layers, head),
     }
@@ -340,6 +397,10 @@ def main():
     state = load_torch_state(src)
     if kind == "m2f":
         tree = convert_mask2former(state)
+    elif kind.startswith("m2f_swin"):
+        # m2f_swin_base / m2f_swin_large (reference swin recipes)
+        size = kind.rsplit("_", 1)[-1]
+        tree = convert_mask2former(state, backbone="swin", swin_size=size)
     elif kind == "clip":
         tree = convert_clip(state)
     elif kind == "timm_resnet":
