@@ -164,6 +164,22 @@ def make_openvis_score_fn(cfg: Config, clip_visual_apply):
     return fn
 
 
+def _host_videos(cfg: Config, dataset_name: str, max_videos):
+    """Yield this process's stride of the test videos.
+
+    Multi-host eval partitioning (reference shards videos across ranks and
+    gathers predictions, ``openvis/data/evals/ytvis_eval.py:117-135``):
+    process p evaluates videos p, p+P, p+2P, ...; ``_finalize`` gathers the
+    per-rank predictions before scoring.  ``max_videos`` counts GLOBALLY so
+    semantics match the single-host run."""
+    pidx, pcount = jax.process_index(), jax.process_count()
+    for i, item in enumerate(test_videos(cfg, dataset_name)):
+        if max_videos is not None and i >= max_videos:
+            break
+        if i % pcount == pidx:
+            yield item
+
+
 def _bucket(n: int, step: int = 8) -> int:
     return max(step, -(-n // step) * step)
 
@@ -200,6 +216,42 @@ def make_single_shot_fn(cfg: Config, model):
             logits = logits[0]                           # (Q, C)
             probs = jax.nn.softmax(logits, axis=-1)[..., :-1]
         return inference_video_topk(probs, masks, topk)
+
+    return fn
+
+
+def make_single_shot_window_fn(cfg: Config, model):
+    """Per-window raw outputs for offline archs on videos LONGER than
+    ``test.max_frames`` — the reference's ``run_window_inference``
+    decomposition (``san.py:285-307``, ``simplebsl.py:237-238``,
+    ``minvis.py:340-362``): each window runs the full forward independently
+    (query slots carry identity across windows), masks concatenate over T,
+    and class scores average over frames across all windows.
+
+    Returns ``(score_acc (Q, K|C), masks (Q, W, h, w))``; ``score_acc`` is
+    pre-normalized by the window's valid-frame count so the caller can sum
+    across windows and divide by T (= the reference's full-video
+    ``pred_logits.mean(dim=1)``, ``simplebsl.py:277``)."""
+    arch = cfg.model.meta_architecture
+    window = cfg.model.test.window_size
+
+    def fn(params, frames, text_feats, frame_valid):
+        out = model.apply({"params": params}, frames, window, text_feats)
+        masks = out["pred_masks"][0]                     # (Q, W, h, w)
+        nvalid = frame_valid.sum().astype(jnp.float32)
+        if arch == "MasQCLIP":
+            from openvis_tpu.models.meta.masqclip import masqclip_eval_scores
+
+            # fused probs are frame-averaged inside the window; weight by
+            # the window's valid count so the cross-window mean is over
+            # frames (windowed delta: the log-softmax fusion sees window
+            # rather than full-video means, masqclip.py:186-216)
+            return masqclip_eval_scores(out)[0] * nvalid, masks
+        logits = out["pred_logits"]
+        if logits.ndim == 4:                             # (B, T, Q, C)
+            fv = frame_valid[None, :, None, None].astype(logits.dtype)
+            return (logits * fv).sum(1)[0], masks        # summed over frames
+        return logits[0] * nvalid, masks                 # clip-level head
 
     return fn
 
@@ -244,7 +296,18 @@ def evaluate_dataset(
     text = jnp.asarray(text_feats)
 
     # eval-time mesh sharding: groups of `ndev` windows run as one sharded
-    # window-batch (the per-frame stack is data-parallel over windows)
+    # window-batch (the per-frame stack is data-parallel over windows).
+    # Multi-host: videos are strided per process (_host_videos), so each
+    # process must run an INDEPENDENT program — restrict the mesh to local
+    # devices (a global mesh would need lockstep identical videos per host)
+    if jax.process_count() > 1 and mesh is not None:
+        local = np.asarray(jax.local_devices())
+        if local.size > 1:
+            from jax.sharding import Mesh
+
+            mesh = Mesh(local, ("data",))
+        else:
+            mesh = None
     ndev = 1
     shard = repl = None
     if mesh is not None and mesh.devices.size > 1:
@@ -256,11 +319,7 @@ def evaluate_dataset(
         params = jax.device_put(params, repl)
         text = jax.device_put(text, repl)
 
-    n_videos = 0
-    for rec, sample in test_videos(cfg, dataset_name):
-        if max_videos is not None and n_videos >= max_videos:
-            break
-        n_videos += 1
+    for rec, sample in _host_videos(cfg, dataset_name, max_videos):
         frames = sample["pixels"]  # (T, H, W, 3) numpy
         t = frames.shape[0]
         # fixed-size windows (tail padded by repeating the last frame)
@@ -273,16 +332,17 @@ def evaluate_dataset(
             chunks.append(chunk)
             keeps.append(window - pad)
         parts = {"logits": [], "masks": [], "embeds": [], "obj_logits": []}
-        for gi in range(0, len(chunks), ndev):
-            grp = chunks[gi : gi + ndev]
-            gpad = ndev - len(grp)
-            if gpad:
-                grp = grp + [grp[-1]] * gpad
-            frames_g = jnp.asarray(np.concatenate(grp))   # (G*W, H, Wd, 3)
-            if shard is not None:
-                frames_g = jax.device_put(frames_g, shard)
-            out = window_fn(params, frames_g, text)
-            for wi in range(len(grp) - gpad):
+        # pipelined dispatch: enqueue up to PIPELINE window groups before
+        # materializing, so the per-call dispatch latency (the remote-TPU
+        # tunnel adds ~35 ms/round trip) overlaps with on-device compute of
+        # later windows.  Depth-capped so long videos don't accumulate all
+        # window outputs on device.
+        PIPELINE = 4
+        pending = []
+
+        def _drain(entry):
+            out, gi, ng, gpad = entry
+            for wi in range(ng - gpad):
                 keep = keeps[gi + wi]
                 parts["masks"].append(np.asarray(out["masks"][wi, :, :keep]))
                 parts["embeds"].append(np.asarray(out["embeds"][wi, :keep]))
@@ -291,6 +351,21 @@ def evaluate_dataset(
                     parts["obj_logits"].append(
                         np.asarray(out["obj_logits"][wi, :keep])
                     )
+
+        for gi in range(0, len(chunks), ndev):
+            grp = chunks[gi : gi + ndev]
+            gpad = ndev - len(grp)
+            if gpad:
+                grp = grp + [grp[-1]] * gpad
+            frames_g = jnp.asarray(np.concatenate(grp))   # (G*W, H, Wd, 3)
+            if shard is not None:
+                frames_g = jax.device_put(frames_g, shard)
+            pending.append((window_fn(params, frames_g, text), gi, len(grp),
+                            gpad))
+            if len(pending) >= PIPELINE:
+                _drain(pending.pop(0))
+        for entry in pending:
+            _drain(entry)
         logits = np.concatenate(parts["logits"], axis=0)     # (T, Q, C)
         masks = np.concatenate(parts["masks"], axis=1)       # (Q, T, h, w)
         embeds = np.concatenate(parts["embeds"], axis=0)     # (T, Q, C)
@@ -374,6 +449,29 @@ def evaluate_dataset(
 
 def _finalize(cfg: Config, dataset_name: str, evaluator) -> Dict[str, float]:
     info = catalog.get(dataset_name)
+    pidx, pcount = jax.process_index(), jax.process_count()
+    if pcount > 1:
+        # gather the per-rank video stride (reference's comm.gather +
+        # rank-0 scoring, ytvis_eval.py:117-135) via the shared output_dir
+        assert cfg.output_dir, "multi-host eval needs a shared output_dir"
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        rank_path = os.path.join(
+            cfg.output_dir, f"results_{dataset_name}.rank{pidx}.json"
+        )
+        with open(rank_path, "w") as f:
+            json.dump(evaluator.predictions, f)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"eval_gather_{dataset_name}")
+        if pidx != 0:
+            return {}
+        merged = []
+        for r in range(pcount):
+            with open(os.path.join(
+                cfg.output_dir, f"results_{dataset_name}.rank{r}.json"
+            )) as f:
+                merged.extend(json.load(f))
+        evaluator.predictions = merged
     # dump raw predictions next to metrics (ytvis_eval.py:136-175)
     if cfg.output_dir:
         os.makedirs(cfg.output_dir, exist_ok=True)
@@ -449,11 +547,7 @@ def _evaluate_brivis_windowed(
         )
     )
 
-    n_videos = 0
-    for rec, sample in test_videos(cfg, dataset_name):
-        if max_videos is not None and n_videos >= max_videos:
-            break
-        n_videos += 1
+    for rec, sample in _host_videos(cfg, dataset_name, max_videos):
         frames = sample["pixels"]  # (T, H, W, 3) numpy
         t = frames.shape[0]
         parts = {"embeds": [], "mask_feats": [], "attn_feats": [],
@@ -541,24 +635,61 @@ def _evaluate_brivis_windowed(
 def _evaluate_single_shot(
     cfg, model, params, dataset_name, text_feats, max_videos, evaluator
 ) -> Dict[str, float]:
+    arch = cfg.model.meta_architecture
+    topk = cfg.model.test.topk_per_video
     fn = jax.jit(make_single_shot_fn(cfg, model))
+    window_fn = jax.jit(make_single_shot_window_fn(cfg, model))
+    window = cfg.model.test.window_size
     text = jnp.asarray(text_feats)
-    n_videos = 0
-    for rec, sample in test_videos(cfg, dataset_name):
-        if max_videos is not None and n_videos >= max_videos:
-            break
-        n_videos += 1
+    for rec, sample in _host_videos(cfg, dataset_name, max_videos):
         frames = sample["pixels"]
         t = frames.shape[0]
-        tb = min(_bucket(t), cfg.model.test.max_frames)
-        if t > tb:  # extremely long video: truncate to the cap
-            frames = frames[:tb]
-            t = tb
-        if tb > t:
-            frames = np.concatenate([frames, frames[-1:].repeat(tb - t, 0)])
-        fv = np.zeros((tb,), bool)
-        fv[:t] = True
-        topk_out = fn(params, jnp.asarray(frames), text, jnp.asarray(fv))
+        tb = _bucket(t)
+        if tb <= cfg.model.test.max_frames:
+            if tb > t:
+                frames = np.concatenate(
+                    [frames, frames[-1:].repeat(tb - t, 0)]
+                )
+            fv = np.zeros((tb,), bool)
+            fv[:t] = True
+            topk_out = fn(params, jnp.asarray(frames), text, jnp.asarray(fv))
+        else:
+            # longer than the single-shot cap: the reference's windowed
+            # decomposition (run_window_inference) — NO frame is dropped
+            logging.getLogger(__name__).info(
+                "video %s: t=%d > max_frames=%d, windowed offline eval",
+                rec["video_id"], t, cfg.model.test.max_frames,
+            )
+            acc = None
+            mparts = []
+            for i in range(0, t, window):
+                chunk = frames[i : i + window]
+                pad = window - len(chunk)
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, chunk[-1:].repeat(pad, 0)]
+                    )
+                wfv = np.zeros((window,), bool)
+                wfv[: window - pad] = True
+                lg, mk = window_fn(
+                    params, jnp.asarray(chunk), text, jnp.asarray(wfv)
+                )
+                acc = lg if acc is None else acc + lg
+                mparts.append(np.asarray(mk[:, : window - pad]))
+            masks = np.concatenate(mparts, axis=1)       # (Q, T, h, w)
+            if tb > t:
+                masks = np.concatenate(
+                    [masks, masks[:, -1:].repeat(tb - t, 1)], axis=1
+                )
+            if arch == "MasQCLIP":
+                probs = jnp.asarray(acc) / t             # already fused probs
+            else:
+                probs = jax.nn.softmax(
+                    jnp.asarray(acc) / t, axis=-1
+                )[..., :-1]
+            topk_out = inference_video_topk(
+                probs, jnp.asarray(masks), topk
+            )
         topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
         mk = topk_np["mask_logits"][:, :t]
         ph, pw = sample["pixels"].shape[1:3]

@@ -27,6 +27,7 @@ def inference_video_topk(
     query order, and only the selected topk masks are gathered (via one-hot
     matmul — aligning all Q masks first costs Q/topk x more HBM traffic)."""
     q, k = scores.shape
+    topk = min(topk, q * k)  # tiny configs can have fewer candidates
     flat = scores.reshape(-1)
     top_scores, top_idx = jax.lax.top_k(flat, topk)
     labels = top_idx % k

@@ -193,9 +193,19 @@ class PredictionHeads(nn.Module):
         elif self.head == "proposal":
             logits = nn.Dense(2, name="class_embed")(x)
         elif self.head == "side_adapter":
-            # attn_features: (B, nH, h, w, C); bias (B, nH, Q, h, w)
             attn_embed = MLP(self.hidden_dim, self.hidden_dim, 3, name="attn_embed")(x)
-            logits = jnp.einsum("bqc,bnhwc->bnqhw", attn_embed, attn_features)
+            if video:
+                # video decoder: queries are per-CLIP (B, Q, C) but attn
+                # features are per-frame — biases (B, T, nH, Q, h, w)
+                # (side_adapter_video_...py:128: "bqc,btnchw->btnqhw")
+                b = x.shape[0]
+                af = attn_features.reshape(b, -1, *attn_features.shape[1:])
+                logits = jnp.einsum("bqc,btnhwc->btnqhw", attn_embed, af)
+            else:
+                # frame decoder: (B*T, nH, h, w, C) -> (B*T, nH, Q, h, w)
+                logits = jnp.einsum(
+                    "bqc,bnhwc->bnqhw", attn_embed, attn_features
+                )
         elif self.head == "zero_shot":
             # ZeroShotMultiScaleMaskedTransformerDecoder (zero_shot_...py:
             # 246-266): "logits" are the normalized decoder embeddings

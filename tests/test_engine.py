@@ -184,6 +184,151 @@ def test_brivis_windowed_eval_no_truncation(synth_root):
         assert len(p["segmentations"]) == 10  # all frames, not max_frames
 
 
+def _offline_overrides(cfg, root, out_name):
+    """Tiny eval overrides: video length 10 >> max_frames 4 so the windowed
+    offline path must engage."""
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model, num_classes=K,
+            test=dataclasses.replace(
+                cfg.model.test, max_frames=4, window_size=4
+            ),
+        ),
+        input=dataclasses.replace(
+            cfg.input, min_size_test=48, max_size_test=96, pad_size=(64, 96),
+            max_instances=6,
+        ),
+        datasets=dataclasses.replace(
+            cfg.datasets, root=root, test=("synth_eval",)
+        ),
+        output_dir=os.path.join(root, out_name),
+    )
+
+
+@pytest.mark.parametrize(
+    "arch", ["SimpleBaseline", "VideoMaskFormer", "MasQCLIP", "SAN",
+             "BriVIS_decoupled"]
+)
+def test_offline_long_video_no_truncation(synth_root, arch):
+    """Offline (single-shot) archs on videos longer than ``test.max_frames``
+    must evaluate EVERY frame via the windowed decomposition (reference
+    ``run_window_inference``, san.py:285-307 / simplebsl.py:237-238) — the
+    round-2 path silently truncated at max_frames."""
+    if arch == "BriVIS_decoupled":
+        from tests.test_brivis import brivis_tiny_config
+
+        cfg = brivis_tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                resampler=dataclasses.replace(
+                    cfg.model.resampler, name="decoupled"
+                ),
+            ),
+        )
+    elif arch == "SAN":
+        from tests.test_san import san_tiny_config
+
+        cfg = san_tiny_config()
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                meta_architecture="SAN",
+                transformer_decoder=dataclasses.replace(
+                    cfg.model.transformer_decoder, name="side_adapter_video"
+                ),
+            ),
+        )
+    else:
+        decoder = {
+            "SimpleBaseline": "video_embedding",
+            "VideoMaskFormer": "video",
+            "MasQCLIP": "video_proposal",
+        }[arch]
+        cfg = _cfg(synth_root)
+        cfg = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model,
+                meta_architecture=arch,
+                transformer_decoder=dataclasses.replace(
+                    cfg.model.transformer_decoder, name=decoder
+                ),
+                clip_adapter=dataclasses.replace(
+                    cfg.model.clip_adapter, clip_model_name="test-tiny"
+                ),
+            ),
+        )
+    cfg = _offline_overrides(cfg, synth_root, f"out_offline_{arch}")
+
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 3, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+    metrics = evaluate_dataset(cfg, model, params, "synth_eval", text)
+    assert "AP" in metrics
+    preds = json.load(open(
+        os.path.join(cfg.output_dir, "results_synth_eval.json")
+    ))
+    assert preds, f"{arch}: windowed offline eval produced no predictions"
+    for p in preds:
+        assert len(p["segmentations"]) == 10  # all frames, not max_frames
+
+
+def test_multihost_eval_partition_and_gather(synth_root, monkeypatch):
+    """Simulated 2-process eval: each rank sees a disjoint video stride
+    (_host_videos) and _finalize gathers rank partials before scoring
+    (reference ytvis_eval.py:117-135 comm.gather + rank-0 scoring)."""
+    import openvis_tpu.engine as eng
+
+    # --- striding ---
+    fake_videos = [({"video_id": i}, {"i": i}) for i in range(5)]
+    monkeypatch.setattr(eng, "test_videos", lambda cfg, ds: iter(fake_videos))
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    got = [r["video_id"] for r, _ in eng._host_videos(None, "ds", 4)]
+    assert got == [1, 3]  # rank 1 of 2, max_videos=4 counted globally
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    got = [r["video_id"] for r, _ in eng._host_videos(None, "ds", None)]
+    assert got == [0, 2, 4]
+
+    # --- gather: rank 1 writes + returns {}, rank 0 merges all partials ---
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(
+        multihost_utils, "sync_global_devices", lambda name: None
+    )
+    cfg = _cfg(synth_root)
+    info = catalog.get("synth_eval")
+    from openvis_tpu.evals.ytvis_eval import YTVISEvaluator
+
+    def pred(vid, score):
+        return {"video_id": vid, "category_id": 1, "score": score,
+                "segmentations": [None]}
+
+    ev1 = YTVISEvaluator(info)
+    ev1.predictions = [pred(2, 0.5)]
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert eng._finalize(cfg, "synth_eval", ev1) == {}
+
+    ev0 = YTVISEvaluator(info)
+    ev0.predictions = [pred(1, 0.9)]
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    metrics = eng._finalize(cfg, "synth_eval", ev0)
+    merged = json.load(open(
+        os.path.join(cfg.output_dir, "results_synth_eval.json")
+    ))
+    assert {p["video_id"] for p in merged} == {1, 2}
+    assert metrics  # rank 0 scores the merged set
+
+
 def test_ov2seg_windowed_eval(synth_root):
     cfg = _cfg(synth_root)
     cfg = dataclasses.replace(
