@@ -146,3 +146,53 @@ def test_train_then_eval_cli(cli_root, monkeypatch):
     assert os.path.exists(
         os.path.join(root, "out", "results_synth_cli_eval.json")
     )
+
+
+def test_eval_only_msgpack_weights(cli_root, monkeypatch, tmp_path):
+    """--eval-only --weights <file.msgpack> evaluates converted (zero-shot)
+    weights — round 2 silently evaluated RANDOM params because only the
+    orbax-directory branch restored; a missing path must now refuse."""
+    root, cfg_path = cli_root
+    import train_net
+    from tools.convert_weights import save_msgpack
+
+    monkeypatch.setattr(train_net, "build_text_bank", lambda cfg: _FakeBank())
+
+    # build a full-params msgpack via a tiny init (same config)
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from openvis_tpu.config import load_config
+    from openvis_tpu.train import init_model
+
+    cfg = load_config(cfg_path)
+    sample = {
+        "pixels": jnp.zeros(
+            (1, cfg.input.sampling_frame_num, *cfg.input.pad_size, 3),
+            jnp.float32,
+        ),
+        "text_feats": jnp.asarray(_FakeBank().encode(["a", "b"])),
+    }
+    _, params = init_model(cfg, jax.random.PRNGKey(7), sample)
+    wpath = str(tmp_path / "weights.msgpack")
+    save_msgpack(jax.tree.map(lambda x: np.asarray(x), params), wpath)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_net.py", "--config-file", cfg_path, "--eval-only",
+         "--weights", wpath],
+    )
+    train_net.main()
+    assert os.path.exists(
+        os.path.join(root, "out", "metrics_synth_cli_eval.json")
+    )
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_net.py", "--config-file", cfg_path, "--eval-only",
+         "--weights", str(tmp_path / "nope")],
+    )
+    with pytest.raises(SystemExit, match="refusing to evaluate random"):
+        train_net.main()

@@ -195,10 +195,27 @@ def main():
     state = TrainState.create(params, tx)
 
     if args.resume or args.eval_only:
-        restored = restore_checkpoint(args.weights or ckpt_dir, state)
-        if restored is not None:
-            state = restored
-            logger.info("resumed at step %d", int(state.step))
+        src = args.weights or ckpt_dir
+        if os.path.isfile(src):
+            # zero-shot eval with converted-but-untrained weights (msgpack
+            # from tools/convert_weights.py) — a supported reference flow;
+            # the orbax branch below only restores DIRECTORY layouts
+            from tools.convert_weights import load_msgpack
+
+            pre = load_msgpack(src)
+            state = state.replace(params=merge_pretrained(state.params, pre))
+            logger.info("loaded msgpack weights for eval from %s", src)
+        else:
+            restored = restore_checkpoint(src, state)
+            if restored is not None:
+                state = restored
+                logger.info("resumed at step %d", int(state.step))
+            elif args.eval_only and args.weights:
+                raise SystemExit(
+                    f"--eval-only --weights {src}: no checkpoint found "
+                    "(expected an orbax checkpoint dir or a converted "
+                    ".msgpack file) — refusing to evaluate random params"
+                )
 
     if args.eval_only:
         # frozen CLIP visual for mask-crop scoring paths (OpenVIS inference,
