@@ -101,6 +101,12 @@ class CriterionConfig:
     # objective); False = raw ratio, bit-parity with the shipped reference
     # (brownian_criterion.py:96-103)
     brownian_neg_log: bool = True
+    # opt-in: keep AMP bf16 mask logits in bf16 through criterion point
+    # sampling (halves the mask HBM traffic that dominates the criterion).
+    # Default off: torch autocast keeps grid_sample in fp32, so bf16
+    # sampling deviates from the reference AMP policy (sampled VALUES only;
+    # losses over the sampled points are always f32)
+    bf16_masks: bool = False
 
 
 @dataclass(frozen=True)

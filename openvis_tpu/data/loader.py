@@ -170,14 +170,17 @@ class TrainLoader:
         return self
 
     def __next__(self) -> Dict:
-        # poll so a dead worker surfaces as an exception instead of a hang
+        # poll so a dead worker surfaces as an exception instead of a hang;
+        # already-assembled batches drain first (error checked only on an
+        # empty poll), so a late worker failure doesn't discard good batches
         while True:
-            if self._error is not None:
-                raise RuntimeError("data loader worker failed") from self._error
             try:
                 return self._queue.get(timeout=5.0)
             except queue.Empty:
-                continue
+                if self._error is not None:
+                    raise RuntimeError(
+                        "data loader worker failed"
+                    ) from self._error
 
 
 def test_videos(cfg: Config, dataset_name: str):

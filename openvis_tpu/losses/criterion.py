@@ -42,14 +42,18 @@ from openvis_tpu.ops.point_sample import (
 from openvis_tpu.structures import ClipTargets
 
 
-def target_rows_t(targets: ClipTargets) -> jax.Array:
+def target_rows_t(targets: ClipTargets, dtype=jnp.float32) -> jax.Array:
     """(B, TH*TW, N*T) pre-transposed target-mask rows for repeated shared
     point sampling — the (N*T, TH*TW) -> transpose is ~66 MB of traffic at
     full train resolution and the criterion samples targets once per decoder
-    layer, so it is hoisted out of the per-layer loop."""
+    layer, so it is hoisted out of the per-layer loop.
+
+    ``dtype`` follows the prediction masks (bf16 under the opt-in
+    ``criterion.bf16_masks``): 0/1 targets are exact in bf16 and the
+    transpose + per-layer gather traffic halves."""
     b, n, t = targets.masks.shape[:3]
     th, tw = targets.masks.shape[-2:]
-    flat = targets.masks.astype(jnp.float32).reshape(b, n * t, th * tw)
+    flat = targets.masks.astype(dtype).reshape(b, n * t, th * tw)
     return jnp.swapaxes(flat, 1, 2)
 
 
@@ -89,13 +93,16 @@ def match_costs(
     # indices -> the fast transposed row-gather sampler
     coords = jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
 
-    pm = pred_masks.astype(jnp.float32).reshape(b, q * t, h, w)
-    out_pts = jax.vmap(point_sample_shared)(pm, coords)
+    # sampling runs in the masks' own dtype (bf16 under criterion.bf16_masks
+    # — halves the dominant mask HBM traffic); sampled VALUES upcast to f32
+    # so every loss reduction below is f32 regardless
+    pm = pred_masks.reshape(b, q * t, h, w)
+    out_pts = jax.vmap(point_sample_shared)(pm, coords).astype(jnp.float32)
     if tgt_t is None:
-        tgt_t = target_rows_t(targets)
+        tgt_t = target_rows_t(targets, pred_masks.dtype)
     tgt_pts = jax.vmap(
         lambda ft, c: point_sample_shared_t(ft, th, tw, c)
-    )(tgt_t, coords)
+    )(tgt_t, coords).astype(jnp.float32)
     out_pts = out_pts.reshape(b, q, t * p)
     tgt_pts = tgt_pts.reshape(b, n, t * p)
 
@@ -243,10 +250,10 @@ def _loss_masks(
     src = jnp.take_along_axis(
         pred_masks, assignment[:, :, None, None, None], axis=1
     )  # (B, N, T, H, W)
-    rows = src.reshape(b, n * t, h, w).astype(jnp.float32)
+    rows = src.reshape(b, n * t, h, w)  # sampled in the masks' own dtype
     th, tw = targets.masks.shape[-2:]
     if tgt_t is None:
-        tgt_t = target_rows_t(targets)
+        tgt_t = target_rows_t(targets, pred_masks.dtype)
     row_w = jnp.broadcast_to(targets.valid[:, :, None], (b, n, t)).reshape(-1)
     row_w = row_w.astype(jnp.float32)
 
@@ -260,8 +267,10 @@ def _loss_masks(
     n_random = s.num_points - n_uncertain
     k1, k2 = jax.random.split(rng)
     cand = jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
-    cand_logits = jax.vmap(point_sample_shared)(rows, cand)      # (B, NT, S)
-    cand_labels = sample_tgt(cand)
+    cand_logits = jax.vmap(point_sample_shared)(rows, cand).astype(
+        jnp.float32
+    )                                                            # (B, NT, S)
+    cand_labels = sample_tgt(cand).astype(jnp.float32)
     # per-row top-k most uncertain candidates (uncertainty = -|logit|),
     # selected WITHOUT reordering: top_k on the (stop-gradient) key alone
     # yields the k-th threshold, and the losses run densely over ALL
@@ -269,8 +278,11 @@ def _loss_masks(
     # per-row point gathers forward, and — crucially — no serialized
     # scatter in the backward (both the gather and sort formulations paid
     # their cost again, transposed, in the VJP).  Identical point set as
-    # top_k barring exact |logit| ties at the threshold (random continuous
-    # points; the mean then divides by the true selected count).
+    # top_k barring exact |logit| ties at the threshold: measure-zero for
+    # f32 logits from random continuous points, but PLAUSIBLE when
+    # pred_masks come from a bf16 forward (quantized values) — ties then
+    # admit a few extra points beyond num_points; the mean divides by the
+    # true selected count, so losses stay well-defined either way.
     key_unc = jax.lax.stop_gradient(-jnp.abs(cand_logits))       # (B, NT, S)
     if n_uncertain > 0:
         kth = jax.lax.top_k(key_unc, n_uncertain)[0][..., -1:]
@@ -292,8 +304,10 @@ def _loss_masks(
     ce_s, num_s, sig_s, lab_s = losses_over(cand_logits, cand_labels, sel)
     if n_random > 0:
         rnd = jax.random.uniform(k2, (b, n_random, 2), dtype=jnp.float32)
-        rnd_logits = jax.vmap(point_sample_shared)(rows, rnd)
-        rnd_labels = sample_tgt(rnd)
+        rnd_logits = jax.vmap(point_sample_shared)(rows, rnd).astype(
+            jnp.float32
+        )
+        rnd_labels = sample_tgt(rnd).astype(jnp.float32)
         ce_r, num_r, sig_r, lab_r = losses_over(rnd_logits, rnd_labels, 1.0)
         ce_s, num_s = ce_s + ce_r, num_s + num_r
         sig_s, lab_s = sig_s + sig_r, lab_s + lab_r
@@ -337,7 +351,8 @@ def set_criterion(
     nm = num_masks_normalizer(targets, axis_name)
     rngs = jax.random.split(rng, num_layers * 2).reshape(num_layers, 2, -1)
 
-    tgt_t = target_rows_t(targets)  # hoisted: one transpose for all layers
+    # hoisted: one transpose for all layers, in the prediction masks' dtype
+    tgt_t = target_rows_t(targets, pred_masks_all.dtype)
 
     def layer_loss(args):
         logits, masks, keys = args

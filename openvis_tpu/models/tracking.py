@@ -43,6 +43,9 @@ def track_by_embeds(pred_embeds: jax.Array, ema_alpha: float = 1.0) -> jax.Array
     Hungarian kernel call, then a cheap gather-scan composes the
     permutations — ~Tx fewer kernel launches than the sequential path
     (profiled: the 10-frame sequential scan dominated eval postprocess).
+    Equivalence to the sequential solve is up to Hungarian tie-breaking:
+    with duplicate/degenerate query embeddings both paths return (possibly
+    different) equally-optimal permutations; scores are unaffected.
     """
     embeds = jax.lax.stop_gradient(_normalize(pred_embeds))
     b, t, q, c = embeds.shape

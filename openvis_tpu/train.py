@@ -116,20 +116,36 @@ def make_loss_fn(
         frames = pixels.reshape(b * t, h, w, 3)
         apply_params = params
         if amp:
-            # torch.cuda.amp equivalent (reference train_net.py AMP=True):
-            # run the whole forward in bf16 by casting the f32 master params
-            # at use time — the cast is differentiable, so grads come back
-            # f32 against the masters.  Flax LayerNorm/GroupNorm still take
-            # stats in f32 internally; losses below are computed in f32.
+            # torch.cuda.amp analog (reference train_net.py AMP=True): run
+            # the forward in bf16 by casting the f32 master params at use
+            # time — the cast is differentiable, so grads come back f32
+            # against the masters.  Norm-layer params (LayerNorm/GroupNorm
+            # scales/biases) stay f32, mirroring autocast's fp32 policy for
+            # normalization ops; everything else (incl. matmul biases, as
+            # under autocast) runs bf16.  Losses below are computed in f32.
             frames = frames.astype(jnp.bfloat16)
-            apply_params = jax.tree.map(
-                lambda x: x.astype(jnp.bfloat16)
-                if x.dtype == jnp.float32 else x,
-                params,
-            )
+
+            def cast(path, x):
+                if x.dtype != jnp.float32:
+                    return x
+                comps = [
+                    str(getattr(k, "key", k)).lower() for k in path
+                ]
+                if any("norm" in c or c.startswith("ln") for c in comps):
+                    return x
+                return x.astype(jnp.bfloat16)
+
+            apply_params = jax.tree_util.tree_map_with_path(cast, params)
         out = model.apply({"params": apply_params}, frames, t, batch["text_feats"])
+        # losses run in f32; under the opt-in criterion.bf16_masks the mask
+        # logits stay bf16 through criterion point sampling (the sampled
+        # values upcast inside the criterion — see losses/criterion.py)
+        keep_bf16_masks = amp and cfg.model.criterion.bf16_masks
         out = {
-            k: (v.astype(jnp.float32) if isinstance(v, jax.Array) else v)
+            k: (
+                v if (keep_bf16_masks and "masks" in k)
+                else (v.astype(jnp.float32) if isinstance(v, jax.Array) else v)
+            )
             for k, v in out.items()
         }
         losses = compute_losses(rng, out, batch["targets"])

@@ -172,3 +172,31 @@ def test_tracking_match_first_appearance_lock():
     ))
     assert a[0, 0] == 3            # slot 0 claims query 3 in frame 0
     assert a[0, 1] == 5            # slot 1 must take query 5 (3 is used)
+
+
+def test_bf16_masks_close_to_f32():
+    """Opt-in criterion.bf16_masks path: bf16 mask sampling must track the
+    f32 criterion within bf16 tolerance (values); assignment may differ only
+    through near-tied costs, so compare losses, not indices."""
+    tg = _targets()
+    b, n, t, h, w = tg.masks.shape
+    q, c = 10, 7
+    rng = np.random.RandomState(3)
+    pred_masks = rng.randn(b, q, t, h, w).astype(np.float32) * 3.0
+    pred_logits = rng.randn(b, q, c + 1).astype(np.float32)
+    s = CriterionSettings(num_classes=c, num_points=512)
+    kwargs = dict(targets=tg, s=s)
+    l32, _ = set_criterion(
+        jax.random.PRNGKey(0), jnp.asarray(pred_logits)[None],
+        jnp.asarray(pred_masks)[None], **kwargs,
+    )
+    l16, _ = set_criterion(
+        jax.random.PRNGKey(0), jnp.asarray(pred_logits)[None],
+        jnp.asarray(pred_masks)[None].astype(jnp.bfloat16), **kwargs,
+    )
+    for k in ("loss_ce", "loss_mask", "loss_dice"):
+        np.testing.assert_allclose(
+            np.asarray(l16[k]), np.asarray(l32[k]), rtol=0.05, atol=0.02,
+            err_msg=k,
+        )
+    assert l16["total"].dtype == jnp.float32
