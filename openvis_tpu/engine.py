@@ -180,6 +180,22 @@ def _host_videos(cfg: Config, dataset_name: str, max_videos):
             yield item
 
 
+_seen_buckets = set()
+
+
+def _log_bucket(kind: str, tb: int):
+    """Each new (kind, time-bucket) pair is a fresh XLA trace — on the real
+    TPU that is a multi-minute compile through the remote tunnel, so make
+    every new bucket visible (Weak #7: bounding eval compile count).
+    ``_bucket``'s step-8 rounding caps the number of buckets at
+    max_frames/8 per kind."""
+    key = (kind, tb)
+    if key not in _seen_buckets:
+        _seen_buckets.add(key)
+        logger.info("new eval time bucket %s t=%d (fresh XLA trace/compile)",
+                    kind, tb)
+
+
 def _bucket(n: int, step: int = 8) -> int:
     return max(step, -(-n // step) * step)
 
@@ -375,6 +391,7 @@ def evaluate_dataset(
         )
 
         tb = _bucket(t)
+        _log_bucket("postprocess", tb)
         fv = np.zeros((tb,), bool)
         fv[:t] = True
         if tb > t:
@@ -571,6 +588,7 @@ def _evaluate_brivis_windowed(
         # pad the time axis to a bucket so the resampler trace count stays
         # bounded; NO max_frames truncation — every frame contributes
         tb = _bucket(t)
+        _log_bucket("brivis_resample", tb)
         if tb > t:
             embeds = np.concatenate([embeds, embeds[-1:].repeat(tb - t, 0)])
             mask_feats = np.concatenate(
@@ -646,6 +664,7 @@ def _evaluate_single_shot(
         t = frames.shape[0]
         tb = _bucket(t)
         if tb <= cfg.model.test.max_frames:
+            _log_bucket("single_shot", tb)
             if tb > t:
                 frames = np.concatenate(
                     [frames, frames[-1:].repeat(tb - t, 0)]

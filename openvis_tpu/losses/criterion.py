@@ -348,42 +348,50 @@ def set_criterion(
              "total": scalar} — layer L-1 is the final decoder output.
     """
     num_layers = pred_masks_all.shape[0]
+    b, n = targets.labels.shape
     nm = num_masks_normalizer(targets, axis_name)
     rngs = jax.random.split(rng, num_layers * 2).reshape(num_layers, 2, -1)
 
     # hoisted: one transpose for all layers, in the prediction masks' dtype
     tgt_t = target_rows_t(targets, pred_masks_all.dtype)
 
-    def layer_loss(args):
-        logits, masks, keys = args
-        if fixed_assignment is None:
-            a = match(keys[0], logits, masks, targets, s, tgt_t)
+    # Layer axis handled by vmap (targets/tgt_t broadcast — NOT tiled), with
+    # the Hungarian solve hoisted OUT as one (L*B)-batched call.  The round-2
+    # lax.scan paid ~8 ms/layer of scan-carried HBM traffic re-slicing the
+    # f32 mask stack per iteration and serialized 2L small dispatch chains;
+    # the batched form issues L-wide gathers/matmuls once.  Math identical
+    # (same per-layer rng split and per-layer ops).
+    if fixed_assignment is None:
+        if pred_logits_all is None:
+            costs = jax.vmap(
+                lambda k, m: match_costs(k, None, m, targets, s, tgt_t)
+            )(rngs[:, 0], pred_masks_all)
         else:
-            a = fixed_assignment
+            costs = jax.vmap(
+                lambda k, lg, m: match_costs(k, lg, m, targets, s, tgt_t)
+            )(rngs[:, 0], pred_logits_all, pred_masks_all)
+        assigns = jax.lax.stop_gradient(
+            batched_hungarian(costs.reshape(num_layers * b, n, -1))
+        ).reshape(num_layers, b, n)
+    else:
+        assigns = jnp.broadcast_to(fixed_assignment, (num_layers, b, n))
+
+    def layer_losses(keys, logits, masks, a):
         lm, ld = _loss_masks(keys[1], masks, a, targets, nm, s, tgt_t)
         if logits is not None and s.use_class_loss:
             lc = _loss_labels(logits, a, targets, s)
         else:
             lc = jnp.zeros(())
-        return (lc, lm, ld), a
+        return lc, lm, ld
 
-    # lax.scan over the layer axis: one traced (match + loss) instance instead
-    # of L unrolled copies — ~10x faster XLA compile, identical math.
-    def scan_body(_, xs):
-        if pred_logits_all is None:
-            masks, keys = xs
-            (lc, lm, ld), a = layer_loss((None, masks, keys))
-        else:
-            logits, masks, keys = xs
-            (lc, lm, ld), a = layer_loss((logits, masks, keys))
-        return None, ((lc, lm, ld), a)
-
-    xs = (
-        (pred_masks_all, rngs)
-        if pred_logits_all is None
-        else (pred_logits_all, pred_masks_all, rngs)
-    )
-    _, ((lcs, lms, lds), assigns) = jax.lax.scan(scan_body, None, xs)
+    if pred_logits_all is None:
+        lcs, lms, lds = jax.vmap(
+            lambda k, m, a: layer_losses(k, None, m, a)
+        )(rngs, pred_masks_all, assigns)
+    else:
+        lcs, lms, lds = jax.vmap(layer_losses)(
+            rngs, pred_logits_all, pred_masks_all, assigns
+        )
     last_a = assigns[-1]
 
     losses = {

@@ -353,7 +353,7 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
         lo = bounds_ref[0, 0, lvl, 0]
         hi = bounds_ref[0, 0, lvl, 1]
 
-        def body(rb, carry, lvl=lvl, h=h, w=w, wp=wp):
+        def block_body(rb, lvl=lvl, h=h, w=w, wp=wp):
             r0 = (rb * rr).astype(jnp.float32)
             lhs_rows = []
             for ri in range(rr):
@@ -374,6 +374,12 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
                 lhs_all, vblk, preferred_element_type=jnp.float32,
                 precision=prec,
             )
+
+        # fori over the dynamic interval beats a statically-unrolled
+        # pl.when-gated block sweep (measured 15.5 vs 19.5 ms/call:
+        # predicated-off blocks still cost instruction issue)
+        def body(rb, carry):
+            block_body(rb)
             return carry
 
         jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
