@@ -355,21 +355,28 @@ def set_criterion(
     # hoisted: one transpose for all layers, in the prediction masks' dtype
     tgt_t = target_rows_t(targets, pred_masks_all.dtype)
 
-    # Layer axis handled by vmap (targets/tgt_t broadcast — NOT tiled), with
-    # the Hungarian solve hoisted OUT as one (L*B)-batched call.  The round-2
-    # lax.scan paid ~8 ms/layer of scan-carried HBM traffic re-slicing the
-    # f32 mask stack per iteration and serialized 2L small dispatch chains;
-    # the batched form issues L-wide gathers/matmuls once.  Math identical
-    # (same per-layer rng split and per-layer ops).
+    # Layer axis handled by CHUNKED lax.map (targets/tgt_t broadcast — NOT
+    # tiled), with the Hungarian solve hoisted OUT as one (L*B)-batched
+    # call.  The round-2 per-layer lax.scan paid ~8 ms/layer of carried HBM
+    # traffic re-slicing the f32 mask stack and serialized 2L small dispatch
+    # chains; a FULL layer vmap went the other way (all layers' ~240 MB
+    # candidate-sample intermediates + VJP residuals live at once -> HBM
+    # thrash, measured 759 -> 1224 ms/step).  batch_size bounds residency at
+    # chunk x per-layer while still issuing chunk-wide batched ops.  Math
+    # identical (same per-layer rng split and per-layer ops).
+    chunk = min(5, num_layers)
     if fixed_assignment is None:
         if pred_logits_all is None:
-            costs = jax.vmap(
-                lambda k, m: match_costs(k, None, m, targets, s, tgt_t)
-            )(rngs[:, 0], pred_masks_all)
+            costs = jax.lax.map(
+                lambda a: match_costs(a[0], None, a[1], targets, s, tgt_t),
+                (rngs[:, 0], pred_masks_all), batch_size=chunk,
+            )
         else:
-            costs = jax.vmap(
-                lambda k, lg, m: match_costs(k, lg, m, targets, s, tgt_t)
-            )(rngs[:, 0], pred_logits_all, pred_masks_all)
+            costs = jax.lax.map(
+                lambda a: match_costs(a[0], a[1], a[2], targets, s, tgt_t),
+                (rngs[:, 0], pred_logits_all, pred_masks_all),
+                batch_size=chunk,
+            )
         assigns = jax.lax.stop_gradient(
             batched_hungarian(costs.reshape(num_layers * b, n, -1))
         ).reshape(num_layers, b, n)
@@ -385,12 +392,15 @@ def set_criterion(
         return lc, lm, ld
 
     if pred_logits_all is None:
-        lcs, lms, lds = jax.vmap(
-            lambda k, m, a: layer_losses(k, None, m, a)
-        )(rngs, pred_masks_all, assigns)
+        lcs, lms, lds = jax.lax.map(
+            lambda a: layer_losses(a[0], None, a[1], a[2]),
+            (rngs, pred_masks_all, assigns), batch_size=chunk,
+        )
     else:
-        lcs, lms, lds = jax.vmap(layer_losses)(
-            rngs, pred_logits_all, pred_masks_all, assigns
+        lcs, lms, lds = jax.lax.map(
+            lambda a: layer_losses(*a),
+            (rngs, pred_logits_all, pred_masks_all, assigns),
+            batch_size=chunk,
         )
     last_a = assigns[-1]
 
