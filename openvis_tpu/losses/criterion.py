@@ -36,8 +36,9 @@ import jax.numpy as jnp
 
 from openvis_tpu.ops.hungarian import batched_hungarian
 from openvis_tpu.ops.point_sample import (
-    point_sample_shared,
-    point_sample_shared_t,
+    sample_maps_shared,
+    sample_maps_shared_t,
+    sort_points_by_y,
 )
 from openvis_tpu.structures import ClipTargets
 
@@ -89,20 +90,22 @@ def match_costs(
     p = s.num_points
     th, tw = targets.masks.shape[-2:]
 
-    # shared random points per batch item (matcher.py:110): row-independent
-    # indices -> the fast transposed row-gather sampler
-    coords = jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
+    # shared random points per batch item (matcher.py:110), y-SORTED so the
+    # TPU tent-matmul sampler sees banded blocks (set semantics — every
+    # reduction below is order-independent, and pred/target stay aligned
+    # because both sample the SAME sorted array)
+    coords = sort_points_by_y(
+        jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
+    )
 
     # sampling runs in the masks' own dtype (bf16 under criterion.bf16_masks
     # — halves the dominant mask HBM traffic); sampled VALUES upcast to f32
     # so every loss reduction below is f32 regardless
     pm = pred_masks.reshape(b, q * t, h, w)
-    out_pts = jax.vmap(point_sample_shared)(pm, coords).astype(jnp.float32)
+    out_pts = sample_maps_shared(pm, coords).astype(jnp.float32)
     if tgt_t is None:
         tgt_t = target_rows_t(targets, pred_masks.dtype)
-    tgt_pts = jax.vmap(
-        lambda ft, c: point_sample_shared_t(ft, th, tw, c)
-    )(tgt_t, coords).astype(jnp.float32)
+    tgt_pts = sample_maps_shared_t(tgt_t, th, tw, coords).astype(jnp.float32)
     out_pts = out_pts.reshape(b, q, t * p)
     tgt_pts = tgt_pts.reshape(b, n, t * p)
 
@@ -258,16 +261,19 @@ def _loss_masks(
     row_w = row_w.astype(jnp.float32)
 
     def sample_tgt(c):
-        return jax.lax.stop_gradient(jax.vmap(
-            lambda ft, cc: point_sample_shared_t(ft, th, tw, cc)
-        )(tgt_t, c))
+        return jax.lax.stop_gradient(
+            sample_maps_shared_t(tgt_t, th, tw, c)
+        )
 
     n_sampled = int(s.num_points * s.oversample_ratio)
     n_uncertain = int(s.importance_sample_ratio * s.num_points)
     n_random = s.num_points - n_uncertain
     k1, k2 = jax.random.split(rng)
-    cand = jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
-    cand_logits = jax.vmap(point_sample_shared)(rows, cand).astype(
+    # y-sorted point SETS (see match_costs)
+    cand = sort_points_by_y(
+        jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
+    )
+    cand_logits = sample_maps_shared(rows, cand).astype(
         jnp.float32
     )                                                            # (B, NT, S)
     cand_labels = sample_tgt(cand).astype(jnp.float32)
@@ -303,10 +309,10 @@ def _loss_masks(
 
     ce_s, num_s, sig_s, lab_s = losses_over(cand_logits, cand_labels, sel)
     if n_random > 0:
-        rnd = jax.random.uniform(k2, (b, n_random, 2), dtype=jnp.float32)
-        rnd_logits = jax.vmap(point_sample_shared)(rows, rnd).astype(
-            jnp.float32
+        rnd = sort_points_by_y(
+            jax.random.uniform(k2, (b, n_random, 2), dtype=jnp.float32)
         )
+        rnd_logits = sample_maps_shared(rows, rnd).astype(jnp.float32)
         rnd_labels = sample_tgt(rnd).astype(jnp.float32)
         ce_r, num_r, sig_r, lab_r = losses_over(rnd_logits, rnd_labels, 1.0)
         ce_s, num_s = ce_s + ce_r, num_s + num_r
@@ -355,53 +361,41 @@ def set_criterion(
     # hoisted: one transpose for all layers, in the prediction masks' dtype
     tgt_t = target_rows_t(targets, pred_masks_all.dtype)
 
-    # Layer axis handled by CHUNKED lax.map (targets/tgt_t broadcast — NOT
-    # tiled), with the Hungarian solve hoisted OUT as one (L*B)-batched
-    # call.  The round-2 per-layer lax.scan paid ~8 ms/layer of carried HBM
-    # traffic re-slicing the f32 mask stack and serialized 2L small dispatch
-    # chains; a FULL layer vmap went the other way (all layers' ~240 MB
-    # candidate-sample intermediates + VJP residuals live at once -> HBM
-    # thrash, measured 759 -> 1224 ms/step).  batch_size bounds residency at
-    # chunk x per-layer while still issuing chunk-wide batched ops.  Math
-    # identical (same per-layer rng split and per-layer ops).
-    chunk = min(5, num_layers)
-    if fixed_assignment is None:
-        if pred_logits_all is None:
-            costs = jax.lax.map(
-                lambda a: match_costs(a[0], None, a[1], targets, s, tgt_t),
-                (rngs[:, 0], pred_masks_all), batch_size=chunk,
-            )
+    # lax.scan over the layer axis: one traced (match + loss) instance
+    # instead of L unrolled copies.  Round-3 scheduling experiments (v5e,
+    # train shapes): full layer vmap 1224 ms/step (all layers' ~240 MB
+    # sampling intermediates + VJP residuals resident at once), chunked
+    # lax.map(batch_size=5) 813, per-layer scan 759 — the scan's layer-at-
+    # a-time residency wins; the real per-layer cost is the point sampling
+    # itself (see ops/point_sample_pallas.py).
+    def layer_loss(args):
+        logits, masks, keys = args
+        if fixed_assignment is None:
+            a = match(keys[0], logits, masks, targets, s, tgt_t)
         else:
-            costs = jax.lax.map(
-                lambda a: match_costs(a[0], a[1], a[2], targets, s, tgt_t),
-                (rngs[:, 0], pred_logits_all, pred_masks_all),
-                batch_size=chunk,
-            )
-        assigns = jax.lax.stop_gradient(
-            batched_hungarian(costs.reshape(num_layers * b, n, -1))
-        ).reshape(num_layers, b, n)
-    else:
-        assigns = jnp.broadcast_to(fixed_assignment, (num_layers, b, n))
-
-    def layer_losses(keys, logits, masks, a):
+            a = fixed_assignment
         lm, ld = _loss_masks(keys[1], masks, a, targets, nm, s, tgt_t)
         if logits is not None and s.use_class_loss:
             lc = _loss_labels(logits, a, targets, s)
         else:
             lc = jnp.zeros(())
-        return lc, lm, ld
+        return (lc, lm, ld), a
 
-    if pred_logits_all is None:
-        lcs, lms, lds = jax.lax.map(
-            lambda a: layer_losses(a[0], None, a[1], a[2]),
-            (rngs, pred_masks_all, assigns), batch_size=chunk,
-        )
-    else:
-        lcs, lms, lds = jax.lax.map(
-            lambda a: layer_losses(*a),
-            (rngs, pred_logits_all, pred_masks_all, assigns),
-            batch_size=chunk,
-        )
+    def scan_body(_, xs):
+        if pred_logits_all is None:
+            masks, keys = xs
+            (lc, lm, ld), a = layer_loss((None, masks, keys))
+        else:
+            logits, masks, keys = xs
+            (lc, lm, ld), a = layer_loss((logits, masks, keys))
+        return None, ((lc, lm, ld), a)
+
+    xs = (
+        (pred_masks_all, rngs)
+        if pred_logits_all is None
+        else (pred_logits_all, pred_masks_all, rngs)
+    )
+    _, ((lcs, lms, lds), assigns) = jax.lax.scan(scan_body, None, xs)
     last_a = assigns[-1]
 
     losses = {

@@ -23,7 +23,10 @@ from openvis_tpu.config import ModelConfig
 from openvis_tpu.models.clip.model import _MODEL_SHAPES
 from openvis_tpu.models.clip_masq import MasQCLIPVisual, preprocess_frames
 from openvis_tpu.models.segmenter import Segmenter
-from openvis_tpu.ops.point_sample import point_sample_shared
+from openvis_tpu.ops.point_sample import (
+    sample_maps_shared,
+    sort_points_by_y,
+)
 from openvis_tpu.structures import ClipTargets
 
 
@@ -86,13 +89,13 @@ def label_assign(
     num-classes sentinel handled by caller, valid (B, Q), gt_idx (B, Q))."""
     b, qn, t, h, w = pred_masks.shape
     n = targets.labels.shape[1]
-    # rows share one point set per item: the shared row-gather sampler
-    # avoids per-row elementwise gathers (serialize on TPU; see criterion)
-    coords = jax.random.uniform(rng, (b, num_points, 2))
+    # rows share one y-sorted point set per item (set semantics — only
+    # reductions below): the TPU tent-matmul sampler, see criterion
+    coords = sort_points_by_y(jax.random.uniform(rng, (b, num_points, 2)))
     pm = pred_masks.reshape(b, qn * t, h, w)
     tm = targets.masks.astype(jnp.float32).reshape(b, n * t, *targets.masks.shape[-2:])
-    out_pts = jax.vmap(point_sample_shared)(pm, coords)
-    tgt_pts = jax.vmap(point_sample_shared)(tm, coords)
+    out_pts = sample_maps_shared(pm, coords)
+    tgt_pts = sample_maps_shared(tm, coords)
     out_pts = out_pts.reshape(b, qn, t * num_points)
     tgt_pts = tgt_pts.reshape(b, n, t * num_points)
     sig = jax.nn.sigmoid(out_pts)

@@ -40,7 +40,10 @@ from openvis_tpu.models.meta.simple_baseline import (
 )
 from openvis_tpu.models.segmenter import Segmenter
 from openvis_tpu.ops.hungarian import batched_hungarian
-from openvis_tpu.ops.point_sample import point_sample_shared
+from openvis_tpu.ops.point_sample import (
+    sample_maps_shared,
+    sort_points_by_y,
+)
 from openvis_tpu.structures import ClipTargets
 
 NORM_TEMP = 50.0
@@ -119,12 +122,15 @@ def ov2seg_loss(
     def layer(xs):
         cls_l, obj_l, masks_l, keys = xs
         # matching cost with the fused probability
-        # shared points per item -> row-gather sampler (see criterion)
-        coords = jax.random.uniform(keys[0], (b * t, s.num_points, 2))
+        # shared y-sorted points per item -> tent-matmul sampler on TPU
+        # (see criterion; matching is stop-gradient so no bwd cost)
+        coords = sort_points_by_y(
+            jax.random.uniform(keys[0], (b * t, s.num_points, 2))
+        )
         pm = masks_l.reshape(b * t, q, h, w)
         tm = tg.masks.astype(jnp.float32).reshape(b * t, n, *tg.masks.shape[-2:])
-        op = jax.vmap(point_sample_shared)(pm, coords)
-        tp = jax.vmap(point_sample_shared)(tm, coords)
+        op = sample_maps_shared(pm, coords)
+        tp = sample_maps_shared(tm, coords)
         pos = jax.nn.softplus(-op)
         neg = jax.nn.softplus(op)
         cost_mask = (

@@ -107,6 +107,66 @@ def point_sample_shared(maps: jax.Array, coords: jax.Array) -> jax.Array:
     return point_sample_shared_t(flat_t, h, w, coords)
 
 
+def sort_points_by_y(coords: jax.Array) -> jax.Array:
+    """(..., P, 2) -> same coords with the point axis sorted ascending in
+    NORMALIZED y.  Point-SET semantics: the criterion's reductions are
+    order-independent, and pred/target samplers called with the same sorted
+    coords stay pairwise aligned (the sort happens once, before pixel
+    scaling, so different map resolutions cannot reorder fp ties).  Sorted
+    points make each 256-point block touch a narrow band of feature rows —
+    the precondition for the Pallas tent-matmul sampler."""
+    ys, xs = jax.lax.sort_key_val(coords[..., 1], coords[..., 0],
+                                  dimension=-1)
+    return jnp.stack([xs, ys], axis=-1)
+
+
+# Pallas tent-matmul sampler pays off only on LOW-RES maps: its window
+# streams whole (rr, W_pad) row blocks per 256-point block, so at full
+# train resolution (480x864) the refetch is ~3-4x the map itself and it
+# LOSES to the gather composition (measured on v5e: criterion_all_layers
+# 384 ms with pallas target sampling vs 300 with gathers).  Pred masks at
+# stride 4 (~120x216) fit the window cheaply.  Route by map area.
+_PALLAS_MAX_HW = 1 << 16
+
+
+def sample_maps_shared(maps: jax.Array, coords: jax.Array) -> jax.Array:
+    """Batched ``point_sample_shared``: maps (B, R, H, W), coords (B, P, 2)
+    SORTED by y -> (B, R, P).  On TPU, low-res maps go through the
+    sorted-window Pallas tent-matmul kernel (ops/point_sample_pallas.py —
+    gathers serialize); full-res maps and other backends use the row-gather
+    composition."""
+    h, w = maps.shape[-2:]
+    if jax.default_backend() == "tpu" and h * w <= _PALLAS_MAX_HW:
+        from openvis_tpu.ops.point_sample_pallas import (
+            point_sample_nhwc_pallas,
+        )
+
+        value = jnp.transpose(maps, (0, 2, 3, 1))         # (B, H, W, R)
+        return point_sample_nhwc_pallas(value, coords)
+    return jax.vmap(point_sample_shared)(maps, coords)
+
+
+def sample_maps_shared_t(
+    flat_t: jax.Array, h: int, w: int, coords: jax.Array
+) -> jax.Array:
+    """Batched ``point_sample_shared_t``: flat_t (B, H*W, R) pre-transposed
+    rows, coords (B, P, 2) SORTED by y -> (B, R, P).  The (H*W, R) layout
+    IS channels-last (H, W, R) flattened, so the Pallas path (low-res maps
+    only — see ``_PALLAS_MAX_HW``) needs no transpose at all."""
+    if jax.default_backend() == "tpu" and h * w <= _PALLAS_MAX_HW:
+        from openvis_tpu.ops.point_sample_pallas import (
+            point_sample_nhwc_pallas,
+        )
+
+        b, hw, r = flat_t.shape
+        return point_sample_nhwc_pallas(
+            flat_t.reshape(b, h, w, r), coords
+        )
+    return jax.vmap(
+        lambda ft, c: point_sample_shared_t(ft, h, w, c)
+    )(flat_t, coords)
+
+
 def uncertain_point_coords(
     rng: jax.Array,
     mask_logits: jax.Array,  # (R, H, W)

@@ -1,0 +1,86 @@
+"""Sorted-window Pallas point sampler vs the gather composition
+(interpret mode; small shapes make the static windows cover the whole map,
+so results are exact up to matmul reassociation)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import openvis_tpu.ops.point_sample_pallas as PSP
+from openvis_tpu.ops.point_sample import point_sample_shared, sort_points_by_y
+
+
+
+
+def _ref(maps, coords):
+    return np.asarray(jax.vmap(point_sample_shared)(maps, coords))
+
+
+@pytest.mark.parametrize("r,h,w,p", [(7, 9, 13, 100), (150, 6, 5, 300),
+                                     (32, 16, 16, 513)])
+def test_fwd_matches_gather_composition(r, h, w, p):
+    rng = np.random.RandomState(r)
+    maps = jnp.asarray(rng.randn(2, r, h, w).astype(np.float32))
+    # spill outside [0,1] to exercise zero padding
+    coords = sort_points_by_y(jnp.asarray(
+        (rng.rand(2, p, 2) * 1.4 - 0.2).astype(np.float32)
+    ))
+    ref = _ref(maps, coords)
+    value = jnp.transpose(maps, (0, 2, 3, 1))
+    out = np.asarray(PSP.point_sample_nhwc_pallas(value, coords,
+                                                  interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_bwd_dvalue_matches_autodiff():
+    rng = np.random.RandomState(0)
+    r, h, w, p = 5, 8, 11, 260
+    maps = jnp.asarray(rng.randn(1, r, h, w).astype(np.float32))
+    coords = sort_points_by_y(jnp.asarray(
+        rng.rand(1, p, 2).astype(np.float32)
+    ))
+    g = jnp.asarray(rng.randn(1, r, p).astype(np.float32))
+
+    def f_ref(m):
+        return jnp.sum(jax.vmap(point_sample_shared)(m, coords) * g)
+
+    want = np.asarray(jax.grad(f_ref)(maps))
+
+    def f_pal(m):
+        value = jnp.transpose(m, (0, 2, 3, 1))
+        return jnp.sum(
+            PSP.point_sample_nhwc_pallas(value, coords, interpret=True) * g
+        )
+
+    # interpret mode for the bwd kernel too
+    import openvis_tpu.ops.point_sample_pallas as M
+
+    orig = M._ps_bwd
+
+    def bwd_interp(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    M._ps_bwd = bwd_interp
+    try:
+        got = np.asarray(jax.grad(f_pal)(maps))
+    finally:
+        M._ps_bwd = orig
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_path_close():
+    rng = np.random.RandomState(3)
+    r, h, w, p = 9, 10, 12, 256
+    maps = rng.randn(1, r, h, w).astype(np.float32)
+    coords = sort_points_by_y(jnp.asarray(
+        rng.rand(1, p, 2).astype(np.float32)
+    ))
+    ref = _ref(jnp.asarray(maps), coords)
+    value = jnp.transpose(jnp.asarray(maps), (0, 2, 3, 1)).astype(
+        jnp.bfloat16
+    )
+    out = np.asarray(PSP.point_sample_nhwc_pallas(value, coords,
+                                                  interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
