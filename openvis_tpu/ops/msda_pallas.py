@@ -387,6 +387,52 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
     out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
+@functools.lru_cache(maxsize=None)
+def _stripe_plan(spatial_shapes, n_stripes: int):
+    """Static y-stripe interleaving of the concatenated token sequence.
+
+    Raster-per-level query order gives coarse-level-origin query blocks
+    whole-map row hulls at the fine levels (a 240-token stride-32 level IS
+    the whole image), so those programs walk ~45 row blocks while
+    fine-origin ones walk ~7.  Interleaving tokens into horizontal y-bands
+    (stripe s = rows [s*h/S, (s+1)*h/S) of EVERY level, concatenated) makes
+    every 256-query block y-local across levels, tightening the kernel's
+    runtime row bounds.  Pure data layout: per-query math is unchanged, and
+    both directions are concats of CONTIGUOUS static slices — no gathers.
+
+    Returns (fwd_runs, inv_runs): (start, stop) ranges such that
+    concat(x[a:b] for fwd_runs) stripes the sequence and concat over
+    inv_runs of the striped sequence restores it; None if identity."""
+    offs, off = [], 0
+    for (h, w) in spatial_shapes:
+        offs.append(off)
+        off += h * w
+    fwd_runs = []
+    pos_of = {}
+    pos = 0
+    for s in range(n_stripes):
+        for lvl, (h, w) in enumerate(spatial_shapes):
+            r0 = (s * h) // n_stripes
+            r1 = ((s + 1) * h) // n_stripes
+            if r1 > r0:
+                a, b = offs[lvl] + r0 * w, offs[lvl] + r1 * w
+                fwd_runs.append((a, b))
+                pos_of[(lvl, s)] = (pos, pos + (b - a))
+                pos += b - a
+    identity = fwd_runs[0][0] == 0 and all(
+        fwd_runs[i][1] == fwd_runs[i + 1][0] for i in range(len(fwd_runs) - 1)
+    )
+    if identity:
+        return None
+    inv_runs = [
+        pos_of[(lvl, s)]
+        for lvl in range(len(spatial_shapes))
+        for s in range(n_stripes)
+        if (lvl, s) in pos_of
+    ]
+    return tuple(fwd_runs), tuple(inv_runs)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
                                              "interpret"))
 def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
@@ -407,6 +453,17 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
     value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
     loc_t = jnp.swapaxes(loc, 1, 2).reshape(bn, lq, nl, p, 2)
     attn_t = jnp.swapaxes(attn, 1, 2).reshape(bn, lq, nl, p)
+
+    # y-stripe the QUERY axis so every bq-block is y-local at all levels
+    # (see _stripe_plan); values stay raster — only the query order moves
+    stripes = None
+    if lq == len_in:
+        n_stripes = max(1, min(min(h for h, _ in spatial_shapes), 16))
+        stripes = _stripe_plan(tuple(spatial_shapes), n_stripes)
+    if stripes is not None:
+        runs_f, _ = stripes
+        loc_t = jnp.concatenate([loc_t[:, a:b] for a, b in runs_f], axis=1)
+        attn_t = jnp.concatenate([attn_t[:, a:b] for a, b in runs_f], axis=1)
 
     # per-level pixel coords (grid_sample align_corners=False: loc*size-0.5),
     # query axis padded once for all levels; pads are tent-dead (-10 px)
@@ -464,7 +521,9 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
             for vp in v_pads
         ],
         out_specs=pl.BlockSpec((1, bq, ch), lambda b, q: (b, q, 0)),
-        out_shape=jax.ShapeDtypeStruct((bn, lqp, ch), jnp.float32),
+        # emit in the value dtype directly (f32 accumulate in scratch): under
+        # bf16 this halves the (BN, LQP, ch) output HBM write + re-read
+        out_shape=jax.ShapeDtypeStruct((bn, lqp, ch), value.dtype),
         scratch_shapes=[
             pltpu.VMEM((p, bq, wp_max), ct),       # tx per point (per level)
             pltpu.VMEM((bq, ch), jnp.float32),     # cross-level accumulator
@@ -474,7 +533,11 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
         ),
         interpret=interpret,
     )(bounds_all, y_flat, x_flat, a_flat, *v_pads)
-    out = out[:, :lq].reshape(b, nh, lq, ch)
+    out = out[:, :lq]
+    if stripes is not None:
+        _, runs_i = stripes
+        out = jnp.concatenate([out[:, a:b] for a, b in runs_i], axis=1)
+    out = out.reshape(b, nh, lq, ch)
     return jnp.swapaxes(out, 1, 2).reshape(b, lq, nh * ch).astype(value.dtype)
 
 
