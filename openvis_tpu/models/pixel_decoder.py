@@ -218,6 +218,138 @@ class BasePixelDecoder(nn.Module):
         return mask_features, outs[0], outs[:3]
 
 
+class DETRTransformerEncoderLayer(nn.Module):
+    """Vanilla DETR encoder layer (reference
+    ``pixel_decoder/transformer.py:154-227``): self-attn with PE added to
+    q/k only, then FFN; post- or pre-norm."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    pre_norm: bool = False
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, src, pos):
+        from openvis_tpu.models.transformer_decoder import MultiheadAttention
+
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+
+        def attn(x):
+            qk = x + pos
+            return MultiheadAttention(
+                self.d_model, self.nhead, name="self_attn"
+            )(qk, qk, x)
+
+        def ffn(x):
+            return nn.Dense(self.d_model, name="linear2")(
+                act(nn.Dense(self.dim_feedforward, name="linear1")(x))
+            )
+
+        if self.pre_norm:
+            src = src + attn(nn.LayerNorm(name="norm1")(src))
+            return src + ffn(nn.LayerNorm(name="norm2")(src))
+        src = nn.LayerNorm(name="norm1")(src + attn(src))
+        return nn.LayerNorm(name="norm2")(src + ffn(src))
+
+
+class DETRTransformerDecoderLayer(nn.Module):
+    """Vanilla DETR decoder layer (reference
+    ``pixel_decoder/transformer.py:230-354``): self-attn (+query PE) ->
+    cross-attn (query PE on q, sine PE on k) -> FFN; post- or pre-norm."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    pre_norm: bool = False
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos):
+        from openvis_tpu.models.transformer_decoder import MultiheadAttention
+
+        act = {"relu": nn.relu, "gelu": nn.gelu}[self.activation]
+
+        def sattn(x):
+            qk = x + query_pos
+            return MultiheadAttention(
+                self.d_model, self.nhead, name="self_attn"
+            )(qk, qk, x)
+
+        def cattn(x):
+            return MultiheadAttention(
+                self.d_model, self.nhead, name="multihead_attn"
+            )(x + query_pos, memory + pos, memory)
+
+        def ffn(x):
+            return nn.Dense(self.d_model, name="linear2")(
+                act(nn.Dense(self.dim_feedforward, name="linear1")(x))
+            )
+
+        if self.pre_norm:
+            tgt = tgt + sattn(nn.LayerNorm(name="norm1")(tgt))
+            tgt = tgt + cattn(nn.LayerNorm(name="norm2")(tgt))
+            return tgt + ffn(nn.LayerNorm(name="norm3")(tgt))
+        tgt = nn.LayerNorm(name="norm1")(tgt + sattn(tgt))
+        tgt = nn.LayerNorm(name="norm2")(tgt + cattn(tgt))
+        return nn.LayerNorm(name="norm3")(tgt + ffn(tgt))
+
+
+class DETRTransformer(nn.Module):
+    """Plain DETR transformer, encoder + decoder halves (reference
+    ``pixel_decoder/transformer.py:19-151``): the vanilla enc/dec kept for
+    the ``BasePixelDecoder``/``transformer_encoder`` config path.  The
+    decoder returns the stack of per-layer activations, each through the
+    shared final LayerNorm (``return_intermediate_dec`` semantics,
+    ``transformer.py:126-149``); the encoder gets a final LayerNorm only
+    under pre-norm (``transformer.py:37``).  Dropout is omitted like the
+    rest of the package (shipped reference recipes train with dropout 0).
+
+    src/pos_embed are NHWC ``(B, H, W, C)`` (pos broadcastable over B);
+    query_embed is ``(Q, C)``.  Returns ``(hs, memory)`` with hs
+    ``(n_dec_layers, B, Q, C)`` and memory ``(B, H, W, C)``.
+    """
+
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    pre_norm: bool = False
+    activation: str = "relu"
+
+    @nn.compact
+    def __call__(self, src, query_embed, pos_embed):
+        b, h, w, c = src.shape
+        x = src.reshape(b, h * w, c)
+        pos = pos_embed.reshape(pos_embed.shape[0], h * w, c).astype(x.dtype)
+
+        for i in range(self.num_encoder_layers):
+            x = DETRTransformerEncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.pre_norm, self.activation, name=f"encoder_layer{i}",
+            )(x, pos)
+        if self.pre_norm:
+            x = nn.LayerNorm(name="encoder_norm")(x)
+        memory = x
+
+        q = query_embed.shape[0]
+        qpos = jnp.broadcast_to(
+            query_embed[None].astype(x.dtype), (b, q, c)
+        )
+        tgt = jnp.zeros_like(qpos)
+        decoder_norm = nn.LayerNorm(name="decoder_norm")
+        inter = []
+        for i in range(self.num_decoder_layers):
+            tgt = DETRTransformerDecoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.pre_norm, self.activation, name=f"decoder_layer{i}",
+            )(tgt, memory, pos, qpos)
+            inter.append(decoder_norm(tgt))
+        hs = jnp.stack(inter, axis=0)                     # (L, B, Q, C)
+        return hs, memory.reshape(b, h, w, c)
+
+
 class MSDeformAttnPixelDecoder(nn.Module):
     """Returns (mask_features, transformer_encoder_feature, multi_scale_features).
 

@@ -574,3 +574,93 @@ def test_matcher_costs_and_assignment_match_torch():
         want = np.zeros(n, np.int64)
         want[ci] = ri
         np.testing.assert_array_equal(assignment[bi], want)
+
+
+@pytest.mark.parametrize("pre_norm", [False, True])
+def test_detr_transformer_matches_torch(pre_norm):
+    """Plain DETR transformer (encoder+decoder halves,
+    pixel_decoder/transformer.py:19-151) vs a torch re-typing: per-layer
+    MultiheadAttention/LayerNorm/Linear applied in the reference forward
+    order, with return_intermediate decoder activations."""
+    from openvis_tpu.models.pixel_decoder import DETRTransformer
+
+    rng = np.random.RandomState(7)
+    b, h, w, q, ffd, n_enc, n_dec = 2, 4, 5, 6, 48, 2, 2
+    src = rng.randn(b, h, w, D).astype(np.float32)
+    pos = rng.randn(1, h, w, D).astype(np.float32)
+    qemb = rng.randn(q, D).astype(np.float32)
+
+    tr = DETRTransformer(D, H, n_enc, n_dec, ffd, pre_norm)
+    params = tr.init(jax.random.PRNGKey(0), jnp.asarray(src),
+                     jnp.asarray(qemb), jnp.asarray(pos))["params"]
+    hs, memory = tr.apply({"params": params}, jnp.asarray(src),
+                          jnp.asarray(qemb), jnp.asarray(pos))
+    hs, memory = np.asarray(hs), np.asarray(memory)
+    assert hs.shape == (n_dec, b, q, D)
+    assert memory.shape == (b, h, w, D)
+
+    t_src = _t(src.reshape(b, h * w, D)).transpose(0, 1)      # (HW, B, C)
+    t_pos = _t(np.broadcast_to(
+        pos.reshape(1, h * w, D), (b, h * w, D))).transpose(0, 1)
+    t_q = _t(np.broadcast_to(qemb[None], (b, q, D))).transpose(0, 1)
+
+    def enc_layer(p, x):
+        mha = torch.nn.MultiheadAttention(D, H)
+        _copy_mha(p["self_attn"], mha)
+        n1, n2 = torch.nn.LayerNorm(D), torch.nn.LayerNorm(D)
+        _copy_ln(p["norm1"], n1)
+        _copy_ln(p["norm2"], n2)
+        l1, l2 = torch.nn.Linear(D, ffd), torch.nn.Linear(ffd, D)
+        _copy_linear(p["linear1"], l1)
+        _copy_linear(p["linear2"], l2)
+        if pre_norm:
+            x2 = n1(x)
+            x = x + mha(x2 + t_pos, x2 + t_pos, x2, need_weights=False)[0]
+            return x + l2(torch.relu(l1(n2(x))))
+        x = n1(x + mha(x + t_pos, x + t_pos, x, need_weights=False)[0])
+        return n2(x + l2(torch.relu(l1(x))))
+
+    def dec_layer(p, x, mem):
+        sa = torch.nn.MultiheadAttention(D, H)
+        ca = torch.nn.MultiheadAttention(D, H)
+        _copy_mha(p["self_attn"], sa)
+        _copy_mha(p["multihead_attn"], ca)
+        n1, n2, n3 = (torch.nn.LayerNorm(D), torch.nn.LayerNorm(D),
+                      torch.nn.LayerNorm(D))
+        _copy_ln(p["norm1"], n1)
+        _copy_ln(p["norm2"], n2)
+        _copy_ln(p["norm3"], n3)
+        l1, l2 = torch.nn.Linear(D, ffd), torch.nn.Linear(ffd, D)
+        _copy_linear(p["linear1"], l1)
+        _copy_linear(p["linear2"], l2)
+        if pre_norm:
+            x2 = n1(x)
+            x = x + sa(x2 + t_q, x2 + t_q, x2, need_weights=False)[0]
+            x2 = n2(x)
+            x = x + ca(x2 + t_q, mem + t_pos, mem, need_weights=False)[0]
+            return x + l2(torch.relu(l1(n3(x))))
+        x = n1(x + sa(x + t_q, x + t_q, x, need_weights=False)[0])
+        x = n2(x + ca(x + t_q, mem + t_pos, mem, need_weights=False)[0])
+        return n3(x + l2(torch.relu(l1(x))))
+
+    with torch.no_grad():
+        x = t_src
+        for i in range(n_enc):
+            x = enc_layer(params[f"encoder_layer{i}"], x)
+        if pre_norm:
+            en = torch.nn.LayerNorm(D)
+            _copy_ln(params["encoder_norm"], en)
+            x = en(x)
+        mem = x
+        dn = torch.nn.LayerNorm(D)
+        _copy_ln(params["decoder_norm"], dn)
+        tgt = torch.zeros_like(t_q)
+        inter = []
+        for i in range(n_dec):
+            tgt = dec_layer(params[f"decoder_layer{i}"], tgt, mem)
+            inter.append(dn(tgt))
+        t_hs = torch.stack(inter).transpose(1, 2).numpy()  # (L, B, Q, C)
+        t_mem = mem.transpose(0, 1).reshape(b, h, w, D).numpy()
+
+    np.testing.assert_allclose(hs, t_hs, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(memory, t_mem, rtol=1e-3, atol=1e-4)
