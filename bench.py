@@ -121,7 +121,9 @@ def _bench_train_step(cfg, arch, tiny):
 
     def run(st):
         st, metrics = step(st, batch, key)
-        np.asarray(metrics["total_loss"])
+        # fence on grad_norm (depends on EVERY grad leaf) — total_loss is a
+        # forward-only value and can be ready before the backward finishes
+        np.asarray(metrics["grad_norm"])
         return st
 
     state = run(state)

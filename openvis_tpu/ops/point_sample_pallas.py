@@ -32,6 +32,7 @@ transposed contraction per row block over a windowed range of point blocks
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,6 +237,45 @@ def _ps_bwd(value_shape, value_dtype, ys, xs, g, rr: int = 2,
     return dv[:, :h, :w, :r].astype(value_dtype)
 
 
+def _ps_bwd_scatter(value_shape, value_dtype, ys, xs, g):
+    """dValue via an XLA 4-corner scatter-add — the exact transpose of the
+    gather composition in ``point_sample.point_sample_shared``.  A/B
+    alternative to the Pallas dValue kernel (``_ps_bwd``): scatter-adds of
+    (PP,) row indices into (HW, R) rows keep the row width on the lanes, so
+    XLA's scatter path is competitive where per-element gathers were not."""
+    bsz, h, w, r = value_shape
+    x0 = jnp.floor(xs)
+    y0 = jnp.floor(ys)
+    lx = xs - x0
+    ly = ys - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    gf = g.astype(jnp.float32)
+
+    def one(y0b, x0b, lyb, lxb, gb):
+        dflat = jnp.zeros((h * w, r), jnp.float32)
+        for dy, dx, wgt in (
+            (0, 0, (1.0 - lyb) * (1.0 - lxb)),
+            (0, 1, (1.0 - lyb) * lxb),
+            (1, 0, lyb * (1.0 - lxb)),
+            (1, 1, lyb * lxb),
+        ):
+            yy = y0b + dy
+            xx = x0b + dx
+            inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+            idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)
+            dflat = dflat.at[idx].add(gb * (wgt * inb)[:, None])
+        return dflat
+
+    dv = jax.vmap(one)(y0i, x0i, ly, lx, gf)
+    return dv.reshape(bsz, h, w, r).astype(value_dtype)
+
+
+# dValue implementation: "pallas" (windowed transposed tent-matmul) or
+# "xla" (4-corner scatter-add).  Overridable via OVT_PS_BWD for A/B runs.
+_BWD_IMPL = os.environ.get("OVT_PS_BWD", "pallas")
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _ps_op(value, ys, xs, interpret=False):
     return _ps_fwd(value, ys, xs, interpret=interpret)
@@ -247,7 +287,11 @@ def _ps_op_fwd(value, ys, xs, interpret):
 
 def _ps_op_bwd(interpret, res, g):
     value, ys, xs = res
-    dv = _ps_bwd(value.shape, value.dtype, ys, xs, g, interpret=interpret)
+    if _BWD_IMPL == "xla":
+        dv = _ps_bwd_scatter(value.shape, value.dtype, ys, xs, g)
+    else:
+        dv = _ps_bwd(value.shape, value.dtype, ys, xs, g,
+                     interpret=interpret)
     return dv, jnp.zeros_like(ys), jnp.zeros_like(xs)
 
 

@@ -70,6 +70,37 @@ def test_bwd_dvalue_matches_autodiff():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_bwd_scatter_matches_autodiff():
+    rng = np.random.RandomState(1)
+    r, h, w, p = 5, 8, 11, 260
+    maps = jnp.asarray(rng.randn(2, r, h, w).astype(np.float32))
+    coords = sort_points_by_y(jnp.asarray(
+        (rng.rand(2, p, 2) * 1.3 - 0.15).astype(np.float32)
+    ))
+    g = jnp.asarray(rng.randn(2, r, p).astype(np.float32))
+
+    def f_ref(m):
+        return jnp.sum(jax.vmap(point_sample_shared)(m, coords) * g)
+
+    want = np.asarray(jax.grad(f_ref)(maps))
+
+    def f_pal(m):
+        value = jnp.transpose(m, (0, 2, 3, 1))
+        return jnp.sum(
+            PSP.point_sample_nhwc_pallas(value, coords, interpret=True) * g
+        )
+
+    import openvis_tpu.ops.point_sample_pallas as M
+
+    orig = M._BWD_IMPL
+    M._BWD_IMPL = "xla"
+    try:
+        got_nhwc = np.asarray(jax.grad(f_pal)(maps))
+    finally:
+        M._BWD_IMPL = orig
+    np.testing.assert_allclose(got_nhwc, want, rtol=1e-4, atol=1e-5)
+
+
 def test_bf16_path_close():
     rng = np.random.RandomState(3)
     r, h, w, p = 9, 10, 12, 256

@@ -170,11 +170,15 @@ def main(tiny: bool = False, train: bool = False):
 
         fwd_loss = jax.jit(lambda p, b, r: loss_fn(p, b, r)[0])
         results["train_loss_fwd"] = _time(fwd_loss, params32, batch, key)
-        grad_fn = jax.jit(jax.grad(lambda p, b, r: loss_fn(p, b, r)[0]))
-        results["train_grad"] = _time(
-            lambda p, b, r: jax.tree.leaves(grad_fn(p, b, r))[0],
-            params32, batch, key,
-        )
+        # reduce to an in-graph scalar: fencing on a tree leaf can return a
+        # constant-zero grad of an unused param before the bwd finishes
+        grad_fn = jax.jit(lambda p, b, r: sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree.leaves(
+                jax.grad(lambda q: loss_fn(q, b, r)[0])(p)
+            )
+        ))
+        results["train_grad"] = _time(grad_fn, params32, batch, key)
 
     for k, v in results.items():
         print(json.dumps({"stage": k, "ms": round(float(v), 2)}))

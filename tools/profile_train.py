@@ -134,15 +134,40 @@ def main(tiny=False):
         logits_all, masks_all, tgt_f,
     ))
 
+    # NOTE: every grad stage reduces to an IN-GRAPH scalar — fencing on a
+    # tree leaf is wrong twice over: leaf[0] can be a constant-zero grad of
+    # an unused param (ready before the computation finishes), and a large
+    # leaf pays the axon host-transfer in the measurement.
+    def _gnorm(tree):
+        return sum(
+            jnp.sum(jnp.square(x.astype(jnp.float32)))
+            for x in jax.tree.leaves(tree)
+        )
+
+    # criterion fwd+bwd alone (grad wrt the mask stack): isolates the
+    # criterion's share of the train backward from the model's
+    emit("criterion_grad", _t(jax.jit(
+        lambda la, ma, tg: _gnorm(jax.grad(
+            lambda mm: set_criterion(key, la, mm, tg, s)[0]["total"]
+        )(ma))
+    ), logits_all, masks_all, tgt_f))
+
+    # model fwd+bwd alone (sum-of-outputs pullback, criterion excluded)
+    emit("model_grad_bf16", _t(jax.jit(
+        lambda p, f: _gnorm(jax.grad(
+            lambda q: jnp.sum(
+                fwd(q, f)["pred_masks_all"].astype(jnp.float32)
+            )
+        )(p))
+    ), pbf, frames))
+
     # full loss fwd + grad
     loss_fn = make_loss_fn(cfg, model, K)
     emit("loss_fwd", _t(
         jax.jit(lambda p, b: loss_fn(p, b, key)[0]), params, batch
     ))
     emit("grad", _t(jax.jit(
-        lambda p, b: jax.tree.leaves(
-            jax.grad(lambda q: loss_fn(q, b, key)[0])(p)
-        )[0]
+        lambda p, b: _gnorm(jax.grad(lambda q: loss_fn(q, b, key)[0])(p))
     ), params, batch))
 
 
