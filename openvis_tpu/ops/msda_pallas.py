@@ -645,27 +645,39 @@ def _dcoord_kernel(flags_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
         dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
 
 
-def _dvalue_kernel_v2(flags_ref, y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
+def _dvalue_kernel_v2(flags_ref, qb_ref, y_ref, x_ref, a_ref, g_ref, dv_ref,
+                      acc_ref,
                       *, h: int, w: int, p: int, bq: int, wp: int, rr: int,
-                      nqb: int):
+                      ct=jnp.float32):
     """dValue with the q-block loop INSIDE the kernel: grid (bn, nrb) only.
     Coordinate arrays arrive head-transposed (BN, P, LQP) so the query axis
-    is the (128-aligned) lane dim; g arrives full (1, LQP, ch) in VMEM."""
-    b = pl.program_id(0)
+    is the (128-aligned) lane dim; g arrives full (1, LQP, ch) in VMEM.
+
+    The loop walks only the contiguous ACTIVE q-block interval per row
+    block (per-program SMEM blocks ``qb_ref``; flags still gate holes):
+    predicated-off fori iterations cost instruction issue (fwd measured
+    19.5 -> 15.5 ms dropping a gated sweep), and with y-striped encoder
+    queries the active interval is ~3-4 of ~34 blocks.
+
+    ``ct`` mirrors the forward's compute-dtype policy (AMP): tent DIFFS stay
+    f32, bounded tent VALUES and the MXU dot run in ct — f32 HIGHEST is a
+    multi-pass MXU emulation that made the backward ~6x the forward."""
     rb = pl.program_id(1)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
     r0 = (rb * rr).astype(jnp.float32)
+    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
     def body(qb, carry):
-        @pl.when(flags_ref[b, rb, qb] > 0)
+        @pl.when(flags_ref[0, rb, qb] > 0)
         def _():
             q0 = qb * bq
             lhs_rows = []
             for ri in range(rr):
                 rf = r0 + ri
-                lhs = jnp.zeros((bq, wp), jnp.float32)
+                lhs = jnp.zeros((bq, wp), ct)
                 for pi in range(p):
                     xq = x_ref[0, pi, pl.ds(q0, bq)][:, None]
                     tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
@@ -673,26 +685,33 @@ def _dvalue_kernel_v2(flags_ref, y_ref, x_ref, a_ref, g_ref, dv_ref, acc_ref,
                     yq = y_ref[0, pi, pl.ds(q0, bq)]
                     ty = jnp.maximum(0.0, 1.0 - jnp.abs(yq - rf))
                     aq = a_ref[0, pi, pl.ds(q0, bq)]
-                    lhs = lhs + (aq * ty)[:, None] * tx
+                    # [:, None] BEFORE the cast: Mosaic can't insert a minor
+                    # dim on a bf16 lane-vector (32-bit relayouts only)
+                    lhs = lhs + (
+                        (aq * ty)[:, None].astype(ct) * tx.astype(ct)
+                    )
                 lhs_rows.append(lhs)
             lhs_all = jnp.concatenate(lhs_rows, axis=1)   # (BQ, RR*WP)
-            gq = g_ref[0, pl.ds(q0, bq), :].astype(jnp.float32)
+            gq = g_ref[0, pl.ds(q0, bq), :].astype(ct)
             acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
                 lhs_all, gq, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )
         return carry
 
-    jax.lax.fori_loop(0, nqb, body, 0, unroll=False)
+    jax.lax.fori_loop(qb_ref[0, rb, 0], qb_ref[0, rb, 1], body, 0,
+                      unroll=False)
     dv_ref[0] = acc_ref[:].reshape(dv_ref.shape[1:]).astype(dv_ref.dtype)
 
 
 def _dcoord_kernel_v2(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
                       da_ref, dy_ref, dx_ref, s_da, s_dy, s_dx,
-                      *, h: int, w: int, p: int, bq: int, wp: int, rr: int):
+                      *, h: int, w: int, p: int, bq: int, wp: int, rr: int,
+                      ct=jnp.float32):
     """da/dy/dx with the row-block loop INSIDE the kernel: grid (bn, nqb),
-    walking only the active [lo, hi) row-block interval (see fwd v2)."""
+    walking only the active [lo, hi) row-block interval (see fwd v2).
+    ``ct`` selects the MXU dtype for the score matmul (see dValue)."""
     b = pl.program_id(0)
     qb = pl.program_id(1)
 
@@ -702,16 +721,18 @@ def _dcoord_kernel_v2(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
     lo = bounds_ref[b, qb, 0]
     hi = bounds_ref[b, qb, 1]
     xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
-    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
+    g = g_ref[0].astype(ct)                               # (BQ, ch)
+    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
 
     def body(rb, carry):
-        vblk = v_ref[0, pl.ds(rb * rr, rr)].astype(jnp.float32).reshape(
+        vblk = v_ref[0, pl.ds(rb * rr, rr)].astype(ct).reshape(
             rr * wp, -1
         )
         s = jax.lax.dot_general(
             g, vblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
         ).reshape(bq, rr, wp)
         r0 = (rb * rr).astype(jnp.float32)
         for pi in range(p):
@@ -747,6 +768,268 @@ def _dcoord_kernel_v2(bounds_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
     dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
 
 
+def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
+                         levels, p: int, bq: int, rr: int, ct):
+    """ALL levels' (dAttn, dLoc) in ONE launch: grid (bn, nqb).
+
+    Reformulated as THREE forward-structured sampling passes: with
+    ``S[q,pi] = tent-sample(V)``, ``Sy = (dty)-sample``, ``Sx =
+    (dtx)-sample``, the gradients are per-query contractions against g —
+    ``da = <S, g>``, ``dy = a * <Sy, g>``, ``dx = a * <Sx, g>``.  The naive
+    transpose (score matrix s = g V^T, then per-(point, row) tent
+    reductions) paid ~32 cross-lane VPU reductions per row block and ran
+    ~8x the forward per block; here every per-block contraction is an MXU
+    dot like the forward, and the ch-axis reductions happen ONCE per level
+    at finalize.  Column tents tx/txp are hoisted per level; the `xj < w`
+    masks are dropped (padded value columns are zero, so tent mass there
+    contributes exact +0.0 to every sample)."""
+    nl = len(levels)
+    v_refs = refs[:nl]
+    da_ref, dy_ref, dx_ref = refs[nl], refs[nl + 1], refs[nl + 2]
+    tx_ref, txp_ref, sval_ref, s_da, s_dy, s_dx = refs[nl + 3:]
+
+    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
+
+    for lvl, (h, w, wp) in enumerate(levels):
+        xj = jax.lax.broadcasted_iota(
+            jnp.int32, (bq, wp), 1
+        ).astype(jnp.float32)
+        for pi in range(p):
+            xq = x_ref[0, :, lvl * p + pi][:, None]       # (BQ, 1)
+            dxx = xq - xj
+            tx_ref[pi, :, :wp] = jnp.maximum(
+                0.0, 1.0 - jnp.abs(dxx)
+            ).astype(ct)
+            txp_ref[pi, :, :wp] = jnp.where(
+                jnp.abs(dxx) < 1.0, -jnp.sign(dxx), 0.0
+            ).astype(ct)
+        sval_ref[:] = jnp.zeros_like(sval_ref)            # (3P, BQ, ch)
+
+        lo = bounds_ref[0, 0, lvl, 0]
+        hi = bounds_ref[0, 0, lvl, 1]
+
+        def block_body(rb, lvl=lvl, wp=wp):
+            vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
+                rr * wp, -1
+            )
+            r0 = (rb * rr).astype(jnp.float32)
+            for pi in range(p):
+                yq = y_ref[0, :, lvl * p + pi]
+                rows_s, rows_y, rows_x = [], [], []
+                for ri in range(rr):
+                    dyy = yq - (r0 + ri)
+                    ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+                    typ = jnp.where(
+                        jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
+                    )
+                    tyc = ty[:, None].astype(ct)
+                    typc = typ[:, None].astype(ct)
+                    rows_s.append(tyc * tx_ref[pi, :, :wp])
+                    rows_y.append(typc * tx_ref[pi, :, :wp])
+                    rows_x.append(tyc * txp_ref[pi, :, :wp])
+                for si, rows in ((0, rows_s), (1, rows_y), (2, rows_x)):
+                    lhs = jnp.concatenate(rows, axis=1)   # (BQ, RR*WP)
+                    sval_ref[si * p + pi] = sval_ref[si * p + pi] + jnp.dot(
+                        lhs, vblk, preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+
+        def body(rb, carry):
+            block_body(rb)
+            return carry
+
+        jax.lax.fori_loop(lo, hi, body, 0, unroll=False)
+
+        # finalize this level: ch-axis contractions against g, once
+        for pi in range(p):
+            aq = a_ref[0, :, lvl * p + pi]
+            s_da[lvl * p + pi] = jnp.sum(sval_ref[pi] * g, axis=1)
+            s_dy[lvl * p + pi] = aq * jnp.sum(sval_ref[p + pi] * g, axis=1)
+            s_dx[lvl * p + pi] = aq * jnp.sum(
+                sval_ref[2 * p + pi] * g, axis=1
+            )
+
+    da_ref[0] = s_da[:].astype(da_ref.dtype)
+    dy_ref[0] = s_dy[:].astype(dy_ref.dtype)
+    dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
+                                             "interpret", "parts"))
+def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
+                    rr: int = 4, interpret: bool = False,
+                    parts=("dvalue", "dcoord")):
+    """Fused MSDA backward: shared cross-level coordinate prep (one
+    transpose + one pad for all levels, like the fwd), ONE fused dCoord
+    launch for all levels, and per-level dValue launches off the shared
+    prep.  Inputs in the public layouts (value (B, Len, nh, ch), loc/attn
+    (B, Lq, nh, nl, p[, 2]), g (B, Lq, nh*ch)); returns (dvalue, dloc,
+    dattn) in the primal shapes.  Query striping happens in the caller."""
+    b, len_in, nh, ch = value.shape
+    lq = loc.shape[1]
+    nl = len(spatial_shapes)
+    p = loc.shape[-2]
+    bn = b * nh
+    lqp = _round_up(lq, bq)
+    nqb = lqp // bq
+    ct = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
+
+    value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
+    loc_t = jnp.swapaxes(loc, 1, 2).reshape(bn, lq, nl, p, 2)
+    attn_t = jnp.swapaxes(attn, 1, 2).reshape(bn, lq, nl, p)
+    g_t = jnp.swapaxes(g.reshape(b, lq, nh, ch), 1, 2).reshape(bn, lq, ch)
+
+    hs = jnp.asarray([h for h, _ in spatial_shapes], jnp.float32)
+    ws = jnp.asarray([w for _, w in spatial_shapes], jnp.float32)
+    y_all = jnp.full((bn, lqp, nl, p), -10.0, jnp.float32)
+    x_all = jnp.full((bn, lqp, nl, p), -10.0, jnp.float32)
+    a_all = jnp.zeros((bn, lqp, nl, p), jnp.float32)
+    y_all = y_all.at[:, :lq].set(
+        loc_t[..., 1].astype(jnp.float32) * hs[:, None] - 0.5
+    )
+    x_all = x_all.at[:, :lq].set(
+        loc_t[..., 0].astype(jnp.float32) * ws[:, None] - 0.5
+    )
+    a_all = a_all.at[:, :lq].set(attn_t.astype(jnp.float32))
+    g_p = jnp.zeros((bn, lqp, ch), ct)
+    g_p = g_p.at[:, :lq].set(g_t.astype(ct))
+
+    v_pads = []
+    level_meta = []
+    bounds = []
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        hp = _round_up(h, rr)
+        wp = _round_up(w, 128)
+        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+        v_pad = v_pad.at[:, :h, :w].set(
+            value_t[:, start : start + h * w].reshape(bn, h, w, ch)
+        )
+        start += h * w
+        v_pads.append(v_pad)
+        level_meta.append((h, w, wp))
+        bounds.append(_row_block_bounds(y_all[:, :, lvl], nqb, bq, rr,
+                                        hp // rr))
+    bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
+    wp_max = max(wp for _, _, wp in level_meta)
+
+    y_flat = y_all.reshape(bn, lqp, nl * p)
+    x_flat = x_all.reshape(bn, lqp, nl * p)
+    a_flat = a_all.reshape(bn, lqp, nl * p)
+
+    # --- fused dCoord: one launch, all levels ---
+    coord_spec = pl.BlockSpec((1, bq, nl * p), lambda b_, q: (b_, q, 0))
+    out_spec = pl.BlockSpec((1, nl * p, bq), lambda b_, q: (b_, 0, q))
+    if "dcoord" not in parts:  # perf-decomposition escape hatch (bench only)
+        z = jnp.zeros((bn, nl * p, lqp), jnp.float32)
+        da, dy, dx = z, z, z
+    else:
+        da, dy, dx = pl.pallas_call(
+            functools.partial(_fused_dcoord_kernel, levels=tuple(level_meta),
+                              p=p, bq=bq, rr=rr, ct=ct),
+            grid=(bn, nqb),
+            in_specs=[
+                pl.BlockSpec((1, 1, nl, 2), lambda b_, q: (b_, q, 0, 0),
+                             memory_space=pltpu.SMEM),
+                coord_spec, coord_spec, coord_spec,
+                pl.BlockSpec((1, bq, ch), lambda b_, q: (b_, q, 0)),
+            ] + [
+                pl.BlockSpec((1, vp.shape[1], vp.shape[2], ch),
+                             lambda b_, q: (b_, 0, 0, 0))
+                for vp in v_pads
+            ],
+            out_specs=[out_spec, out_spec, out_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((bn, nl * p, lqp), jnp.float32)
+                for _ in range(3)
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((p, bq, wp_max), ct),              # tx
+                pltpu.VMEM((p, bq, wp_max), ct),              # txp
+                pltpu.VMEM((3 * p, bq, ch), jnp.float32),     # sval
+                pltpu.VMEM((nl * p, bq), jnp.float32),
+                pltpu.VMEM((nl * p, bq), jnp.float32),
+                pltpu.VMEM((nl * p, bq), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(bounds_all, y_flat, x_flat, a_flat, g_p, *v_pads)
+
+    # --- per-level dValue off the shared prep ---
+    if "dvalue" not in parts:  # perf-decomposition escape hatch (bench only)
+        dvalue = jnp.zeros_like(value)
+        def unflat0(d):
+            d = jnp.swapaxes(d, 1, 2)[:, :lq].reshape(bn, lq, nl, p)
+            return jnp.swapaxes(d.reshape(b, nh, lq, nl, p), 1, 2)
+        dloc = jnp.stack(
+            [unflat0(dx) * ws[:, None], unflat0(dy) * hs[:, None]], axis=-1
+        ).astype(loc.dtype)
+        return dvalue, dloc, unflat0(da).astype(attn.dtype)
+    dvalue_parts = []
+    for lvl, (h, w, wp) in enumerate(level_meta):
+        hp = _round_up(h, rr)
+        nrb = hp // rr
+        y_l = y_all[:, :, lvl]                            # (BN, LQP, P)
+        flags_t = jnp.swapaxes(
+            _row_block_flags(y_l, nqb, bq, rr, nrb), 1, 2
+        )
+        any_q = flags_t.max(axis=-1) > 0
+        qlo = jnp.argmax(flags_t, axis=-1).astype(jnp.int32)
+        qhi = (nqb - jnp.argmax(flags_t[..., ::-1], axis=-1)).astype(
+            jnp.int32
+        )
+        qbounds = jnp.stack(
+            [jnp.where(any_q, qlo, 0), jnp.where(any_q, qhi, 0)], axis=-1
+        )
+        y_t = jnp.swapaxes(y_l, 1, 2)                     # (BN, P, LQP)
+        x_t = jnp.swapaxes(x_all[:, :, lvl], 1, 2)
+        a_t = jnp.swapaxes(a_all[:, :, lvl], 1, 2)
+        dv = pl.pallas_call(
+            functools.partial(_dvalue_kernel_v2, h=h, w=w, p=p, bq=bq,
+                              wp=wp, rr=rr, ct=ct),
+            grid=(bn, nrb),
+            in_specs=[
+                pl.BlockSpec((1, nrb, nqb), lambda b_, r: (b_, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, nrb, 2), lambda b_, r: (b_, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, p, lqp), lambda b_, r: (b_, 0, 0)),
+                pl.BlockSpec((1, p, lqp), lambda b_, r: (b_, 0, 0)),
+                pl.BlockSpec((1, p, lqp), lambda b_, r: (b_, 0, 0)),
+                pl.BlockSpec((1, lqp, ch), lambda b_, r: (b_, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, rr, wp, ch),
+                                   lambda b_, r: (b_, r, 0, 0)),
+            scratch_shapes=[pltpu.VMEM((rr * wp, ch), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct((bn, hp, wp, ch), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            interpret=interpret,
+        )(flags_t, qbounds, y_t, x_t, a_t, g_p)
+        dvalue_parts.append(dv[:, :h, :w].reshape(bn, h * w, ch))
+    dvalue_t = jnp.concatenate(dvalue_parts, axis=1)      # (BN, Len, ch)
+
+    # --- assemble public shapes ---
+    dvalue = jnp.swapaxes(
+        dvalue_t.reshape(b, nh, len_in, ch), 1, 2
+    ).astype(value.dtype)
+
+    def unflat(d):  # (BN, nl*p, LQP) -> (B, Lq, nh, nl, p)
+        d = jnp.swapaxes(d, 1, 2)[:, :lq].reshape(bn, lq, nl, p)
+        return jnp.swapaxes(d.reshape(b, nh, lq, nl, p), 1, 2)
+
+    dloc = jnp.stack(
+        [unflat(dx) * ws[:, None], unflat(dy) * hs[:, None]], axis=-1
+    ).astype(loc.dtype)
+    dattn = unflat(da).astype(attn.dtype)
+    return dvalue, dloc, dattn
+
+
 @functools.partial(jax.jit, static_argnames=("h", "w", "bq", "rr", "interpret"))
 def _sample_level_pallas_bwd_v2(value, y, x, attn, g, h: int, w: int,
                                 bq: int = 256, rr: int = 4,
@@ -759,6 +1042,7 @@ def _sample_level_pallas_bwd_v2(value, y, x, attn, g, h: int, w: int,
     wp = _round_up(w, 128)
     lqp = _round_up(lq, bq)
     hp = _round_up(h, rr)
+    ct = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
 
     v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
     v_pad = v_pad.at[:, :h, :w].set(value.reshape(bn, h, w, ch))
@@ -770,42 +1054,54 @@ def _sample_level_pallas_bwd_v2(value, y, x, attn, g, h: int, w: int,
     y_p = pad_q(y, -10.0)
     x_p = pad_q(x, -10.0)
     a_p = pad_q(attn, 0.0)
-    g_p = jnp.zeros((bn, lqp, ch), jnp.float32)
-    g_p = g_p.at[:, :lq].set(g.astype(jnp.float32))
+    g_p = jnp.zeros((bn, lqp, ch), ct)
+    g_p = g_p.at[:, :lq].set(g.astype(ct))
     nrb = hp // rr
     nqb = lqp // bq
     flags_t = jnp.swapaxes(
         _row_block_flags(y_p, nqb, bq, rr, nrb), 1, 2
     )                                                     # (BN, nrb, nqb)
     bounds = _row_block_bounds(y_p, nqb, bq, rr, nrb)
+    # contiguous active q-block interval per row block (hull of flags_t)
+    any_q = flags_t.max(axis=-1) > 0
+    qlo = jnp.argmax(flags_t, axis=-1).astype(jnp.int32)
+    qhi = (nqb - jnp.argmax(flags_t[..., ::-1], axis=-1)).astype(jnp.int32)
+    qbounds = jnp.stack(
+        [jnp.where(any_q, qlo, 0), jnp.where(any_q, qhi, 0)], axis=-1
+    )                                                     # (BN, nrb, 2)
 
     # head-transposed coords: query axis on lanes (128-aligned)
     y_t = jnp.swapaxes(y_p, 1, 2)                         # (BN, P, LQP)
     x_t = jnp.swapaxes(x_p, 1, 2)
     a_t = jnp.swapaxes(a_p, 1, 2)
 
-    dv_grid = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bn, nrb),
-        in_specs=[
-            pl.BlockSpec((1, p, lqp), lambda b, r, f: (b, 0, 0)),
-            pl.BlockSpec((1, p, lqp), lambda b, r, f: (b, 0, 0)),
-            pl.BlockSpec((1, p, lqp), lambda b, r, f: (b, 0, 0)),
-            pl.BlockSpec((1, lqp, ch), lambda b, r, f: (b, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, rr, wp, ch), lambda b, r, f: (b, r, 0, 0)),
-        scratch_shapes=[pltpu.VMEM((rr * wp, ch), jnp.float32)],
-    )
+    # flags/qbounds ride per-program SMEM BLOCKS, not scalar prefetch: the
+    # full (BN, nrb, nqb) int32 array overflows SMEM at encoder scale (the
+    # opaque compile-500 failure mode; see CLAUDE.md), and neither feeds an
+    # index_map — the per-bn (nrb, nqb)/(nrb, 2) slices are ~2 KB (SMEM
+    # blocks must keep the trailing two dims equal to the array's)
     dv = pl.pallas_call(
         functools.partial(_dvalue_kernel_v2, h=h, w=w, p=p, bq=bq, wp=wp,
-                          rr=rr, nqb=nqb),
-        grid_spec=dv_grid,
+                          rr=rr, ct=ct),
+        grid=(bn, nrb),
+        in_specs=[
+            pl.BlockSpec((1, nrb, nqb), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, nrb, 2), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, p, lqp), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((1, p, lqp), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((1, p, lqp), lambda b, r: (b, 0, 0)),
+            pl.BlockSpec((1, lqp, ch), lambda b, r: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, rr, wp, ch), lambda b, r: (b, r, 0, 0)),
+        scratch_shapes=[pltpu.VMEM((rr * wp, ch), jnp.float32)],
         out_shape=jax.ShapeDtypeStruct((bn, hp, wp, ch), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(flags_t, y_t, x_t, a_t, g_p)
+    )(flags_t, qbounds, y_t, x_t, a_t, g_p)
     dvalue = dv[:, :h, :w].reshape(bn, hw, ch)
 
     dc_grid = pltpu.PrefetchScalarGridSpec(
@@ -826,7 +1122,7 @@ def _sample_level_pallas_bwd_v2(value, y, x, attn, g, h: int, w: int,
     )
     da, dy, dx = pl.pallas_call(
         functools.partial(_dcoord_kernel_v2, h=h, w=w, p=p, bq=bq, wp=wp,
-                          rr=rr),
+                          rr=rr, ct=ct),
         grid_spec=dc_grid,
         out_shape=[
             jax.ShapeDtypeStruct((bn, p, lqp), jnp.float32)
@@ -1022,6 +1318,44 @@ def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g,
     lq = loc.shape[1]
     p = loc.shape[-2]
     bn = b * nh
+
+    # encoder self-attention: y-stripe the query axis (see _stripe_plan) so
+    # the dCoord row intervals and dValue q-block flags tighten like the
+    # forward; dvalue indexes VALUE positions (raster) and needs no unpermute
+    stripes = None
+    if lq == len_in:
+        n_stripes = max(1, min(min(h for h, _ in spatial_shapes), 16))
+        stripes = _stripe_plan(
+            tuple(tuple(s) for s in spatial_shapes), n_stripes
+        )
+    if stripes is not None:
+        runs_f, runs_i = stripes
+        loc = jnp.concatenate([loc[:, a:e] for a, e in runs_f], axis=1)
+        attn = jnp.concatenate([attn[:, a:e] for a, e in runs_f], axis=1)
+        g = jnp.concatenate([g[:, a:e] for a, e in runs_f], axis=1)
+
+    # fused path (one dCoord launch for all levels + shared prep), gated by
+    # the same per-program VMEM residency bound as the fused forward
+    if level_impl is None:
+        esz = 2 if value.dtype == jnp.bfloat16 else 4
+        vmem = sum(
+            _round_up(h, 4) * _round_up(w, 128) * _round_up(ch, 128) * esz * 2
+            for h, w in spatial_shapes
+        )
+        if vmem <= 12 * 1024 * 1024:
+            dvalue, dloc, dattn = _msda_bwd_fused(
+                value, loc, attn, g, tuple(tuple(s) for s in spatial_shapes)
+            )
+            if stripes is not None:
+                runs_f, runs_i = stripes
+                dloc = jnp.concatenate(
+                    [dloc[:, a:e] for a, e in runs_i], axis=1
+                )
+                dattn = jnp.concatenate(
+                    [dattn[:, a:e] for a, e in runs_i], axis=1
+                )
+            return dvalue, dloc, dattn
+
     value_t = jnp.swapaxes(value, 1, 2).reshape(bn, len_in, ch)
     # g: (B, Lq, nh*ch) -> (BN, Lq, ch)
     g_t = jnp.swapaxes(
@@ -1061,6 +1395,9 @@ def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g,
     ).astype(value.dtype)
     dloc = jnp.stack(dloc_parts, axis=3).astype(loc.dtype)
     dattn = jnp.stack(dattn_parts, axis=3).astype(attn.dtype)
+    if stripes is not None:
+        dloc = jnp.concatenate([dloc[:, a:e] for a, e in runs_i], axis=1)
+        dattn = jnp.concatenate([dattn[:, a:e] for a, e in runs_i], axis=1)
     return dvalue, dloc, dattn
 
 

@@ -47,3 +47,36 @@ def test_backward_matches_xla_vjp(seed):
         np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref), rtol=1e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("encoder_shaped", [False, True])
+def test_backward_fused_matches_xla_vjp(monkeypatch, encoder_shaped):
+    """Default (level_impl=None) backward routes through the fused
+    all-level dCoord + shared-prep dValue path; encoder-shaped inputs
+    (lq == len_in) additionally exercise the y-stripe round trip."""
+    monkeypatch.setattr(
+        MP, "_msda_bwd_fused",
+        functools.partial(MP._msda_bwd_fused.__wrapped__, interpret=True),
+    )
+    rng = np.random.RandomState(11 if encoder_shaped else 7)
+    shapes = ((8, 9), (4, 5), (2, 3))
+    L = sum(h * w for h, w in shapes)
+    B, NH, CH, P = 2, 2, 32, 4
+    LQ = L if encoder_shaped else 13
+    value = jnp.asarray(rng.randn(B, L, NH, CH).astype(np.float32))
+    loc = jnp.asarray(
+        (rng.rand(B, LQ, NH, 3, P, 2) * 1.2 - 0.1).astype(np.float32)
+    )
+    attn = jnp.asarray(rng.rand(B, LQ, NH, 3, P).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, LQ, NH * CH).astype(np.float32))
+
+    _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn_xla(v, shapes, l, a),
+                     value, loc, attn)
+    dv_ref, dl_ref, da_ref = vjp(g)
+    dv, dl, da = MP.ms_deform_attn_pallas_bwd(value, shapes, loc, attn, g)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                               rtol=1e-4, atol=1e-5)

@@ -87,7 +87,55 @@ def bench(tag, b, levels, dtype, iters=6):
         }), flush=True)
 
 
+def bench_parts(tag, b, levels, dtype, iters=6):
+    """Decompose the fused backward: dValue-only vs dCoord-only."""
+    from openvis_tpu.ops.msda_pallas import _msda_bwd_fused
+
+    nh, ch, p = 8, 32, 4
+    nl = len(levels)
+    lq = sum(h * w for h, w in levels)
+    rng = np.random.RandomState(0)
+    value = jnp.asarray(
+        rng.randn(b, lq, nh, ch).astype(np.float32)
+    ).astype(dtype)
+    refs = _raster_refs(levels)[None, :, None, None, None, :]
+    sizes = np.array([(w, h) for h, w in levels], np.float32)
+    offs = rng.randn(b, lq, nh, nl, p, 2).astype(np.float32) * 2.0
+    loc = jnp.asarray(
+        (refs + offs / sizes[None, None, None, :, None, :]).astype(np.float32)
+    )
+    attn = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, lq, nh, nl, p).astype(np.float32)), axis=-1
+    ).reshape(b, lq, nh, nl, p)
+    g = jnp.asarray(rng.randn(b, lq, nh * ch).astype(np.float32)).astype(dtype)
+
+    for name, parts in (("dvalue", ("dvalue",)), ("dcoord", ("dcoord",)),
+                        ("both", ("dvalue", "dcoord"))):
+        def chain(v, l, a, gg, parts=parts):
+            s = jnp.zeros((), jnp.float32)
+            for _ in range(CH):
+                outs = _msda_bwd_fused(
+                    v + s.astype(v.dtype) * 0, l, a, gg, levels, parts=parts
+                )
+                s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            return s
+        fn = jax.jit(chain)
+        np.asarray(fn(value, loc, attn, g))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            np.asarray(fn(value, loc, attn, g))
+        dt = (time.perf_counter() - t0) / iters * 1e3
+        print(json.dumps({
+            "case": f"{tag}_bwdpart_{name}",
+            "ms_per_call": round((dt - 35.0) / CH, 2),
+        }), flush=True)
+
+
 def main():
+    if "--parts" in sys.argv:
+        bench_parts("train", 2, ((60, 108), (30, 54), (15, 27)), jnp.bfloat16)
+        bench_parts("eval", 10, ((48, 80), (24, 40), (12, 20)), jnp.bfloat16)
+        return
     bench("train", 2, ((60, 108), (30, 54), (15, 27)), jnp.bfloat16)
     bench("eval", 10, ((48, 80), (24, 40), (12, 20)), jnp.bfloat16)
 
