@@ -70,6 +70,13 @@ class CriterionSettings:
     importance_sample_ratio: float = 0.75
     deep_supervision: bool = True
     use_class_loss: bool = True
+    # Opt-in (criterion.bf16_masks): run point SAMPLING in bf16 instead of
+    # upcasting the per-layer mask slice to f32.  Off by default — torch
+    # autocast pins grid_sample to fp32, so f32 sampling of bf16-valued
+    # maps is the reference-parity AMP behavior (and exact: bf16->f32 is
+    # lossless, so feeding set_criterion a bf16 stack changes nothing but
+    # the HBM traffic of the layer scan).
+    bf16_sampling: bool = False
 
 
 def _softplus(x):
@@ -98,9 +105,12 @@ def match_costs(
         jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
     )
 
-    # sampling runs in the masks' own dtype (bf16 under criterion.bf16_masks
-    # — halves the dominant mask HBM traffic); sampled VALUES upcast to f32
-    # so every loss reduction below is f32 regardless
+    # sampling runs f32 (the torch-autocast grid_sample policy) unless
+    # criterion.bf16_masks opts into bf16 sampling; a bf16 mask ARRAY is
+    # fine either way — the upcast is exact (the win of keeping the layer
+    # stack bf16 is upstream, in set_criterion's scan slice traffic)
+    if not s.bf16_sampling:
+        pred_masks = pred_masks.astype(jnp.float32)
     pm = pred_masks.reshape(b, q * t, h, w)
     out_pts = sample_maps_shared(pm, coords).astype(jnp.float32)
     if tgt_t is None:
@@ -250,6 +260,8 @@ def _loss_masks(
     """
     b, q, t, h, w = pred_masks.shape
     n = targets.labels.shape[1]
+    if not s.bf16_sampling:  # f32 sampling policy; see match_costs
+        pred_masks = pred_masks.astype(jnp.float32)
     src = jnp.take_along_axis(
         pred_masks, assignment[:, :, None, None, None], axis=1
     )  # (B, N, T, H, W)
@@ -269,13 +281,36 @@ def _loss_masks(
     n_uncertain = int(s.importance_sample_ratio * s.num_points)
     n_random = s.num_points - n_uncertain
     k1, k2 = jax.random.split(rng)
-    # y-sorted point SETS (see match_costs)
-    cand = sort_points_by_y(
-        jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
-    )
+    # y-sorted point SETS (see match_costs).  The candidate and random
+    # draws stay two independent uniform draws (reference semantics) but
+    # are y-sorted as ONE union with an is-candidate marker carried through
+    # the sort — one sampler pass over S+R points instead of two (pallas
+    # call + full-res target gather each), with identical pointwise values
+    # and order-independent reductions below.
+    cand_raw = jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
+    if n_random > 0:
+        rnd_raw = jax.random.uniform(
+            k2, (b, n_random, 2), dtype=jnp.float32
+        )
+        pts_raw = jnp.concatenate([cand_raw, rnd_raw], axis=1)
+        marker = jnp.broadcast_to(
+            jnp.concatenate([
+                jnp.ones((n_sampled,), jnp.float32),
+                jnp.zeros((n_random,), jnp.float32),
+            ]),
+            (b, n_sampled + n_random),
+        )
+        ys, xs, is_cand = jax.lax.sort(
+            (pts_raw[..., 1], pts_raw[..., 0], marker),
+            dimension=-1, num_keys=1,
+        )
+        cand = jnp.stack([xs, ys], axis=-1)          # (B, S+R, 2)
+    else:
+        cand = sort_points_by_y(cand_raw)
+        is_cand = jnp.ones((b, n_sampled), jnp.float32)
     cand_logits = sample_maps_shared(rows, cand).astype(
         jnp.float32
-    )                                                            # (B, NT, S)
+    )                                                            # (B, NT, S+R)
     cand_labels = sample_tgt(cand).astype(jnp.float32)
     # per-row top-k most uncertain candidates (uncertainty = -|logit|),
     # selected WITHOUT reordering: top_k on the (stop-gradient) key alone
@@ -289,13 +324,18 @@ def _loss_masks(
     # pred_masks come from a bf16 forward (quantized values) — ties then
     # admit a few extra points beyond num_points; the mean divides by the
     # true selected count, so losses stay well-defined either way.
-    key_unc = jax.lax.stop_gradient(-jnp.abs(cand_logits))       # (B, NT, S)
+    # random points are masked to -inf for the threshold: the k-th value is
+    # computed over CANDIDATES only, exactly as with separate pools
+    key_unc = jax.lax.stop_gradient(-jnp.abs(cand_logits))       # (B, NT, S+R)
+    key_unc = jnp.where(is_cand[:, None, :] > 0, key_unc, -jnp.inf)
     if n_uncertain > 0:
         kth = jax.lax.top_k(key_unc, n_uncertain)[0][..., -1:]
         sel = (key_unc >= kth).astype(jnp.float32)
     else:
         sel = jnp.zeros_like(key_unc)
     n_sel = sel.sum(-1)                                          # (B, NT)
+    # selected candidates AND every random point contribute (weight 1)
+    weight = sel + (1.0 - is_cand)[:, None, :]
 
     def losses_over(logits, labels, weight):
         ce = _softplus(logits) - logits * labels
@@ -307,16 +347,7 @@ def _loss_masks(
             (labels * weight).sum(-1),
         )
 
-    ce_s, num_s, sig_s, lab_s = losses_over(cand_logits, cand_labels, sel)
-    if n_random > 0:
-        rnd = sort_points_by_y(
-            jax.random.uniform(k2, (b, n_random, 2), dtype=jnp.float32)
-        )
-        rnd_logits = sample_maps_shared(rows, rnd).astype(jnp.float32)
-        rnd_labels = sample_tgt(rnd).astype(jnp.float32)
-        ce_r, num_r, sig_r, lab_r = losses_over(rnd_logits, rnd_labels, 1.0)
-        ce_s, num_s = ce_s + ce_r, num_s + num_r
-        sig_s, lab_s = sig_s + sig_r, lab_s + lab_r
+    ce_s, num_s, sig_s, lab_s = losses_over(cand_logits, cand_labels, weight)
     total_pts = n_sel + n_random                                 # (B, NT)
 
     # sigmoid CE (criterion.py:51-69): mean over the selected point set
@@ -358,8 +389,13 @@ def set_criterion(
     nm = num_masks_normalizer(targets, axis_name)
     rngs = jax.random.split(rng, num_layers * 2).reshape(num_layers, 2, -1)
 
-    # hoisted: one transpose for all layers, in the prediction masks' dtype
-    tgt_t = target_rows_t(targets, pred_masks_all.dtype)
+    # Sampling dtype: f32 unless bf16 sampling is opted in.  A bf16 mask
+    # STACK is still welcome — the scan slices it layer-by-layer (half the
+    # carried HBM traffic) and upcasts the slice below, which is exact.
+    cdt = pred_masks_all.dtype if s.bf16_sampling else jnp.float32
+
+    # hoisted: one transpose for all layers, in the sampling dtype
+    tgt_t = target_rows_t(targets, cdt)
 
     # lax.scan over the layer axis: one traced (match + loss) instance
     # instead of L unrolled copies.  Round-3 scheduling experiments (v5e,
@@ -370,6 +406,9 @@ def set_criterion(
     # itself (see ops/point_sample_pallas.py).
     def layer_loss(args):
         logits, masks, keys = args
+        masks = masks.astype(cdt)
+        if logits is not None:
+            logits = logits.astype(jnp.float32)
         if fixed_assignment is None:
             a = match(keys[0], logits, masks, targets, s, tgt_t)
         else:

@@ -245,6 +245,7 @@ def brivis_loss(
         num_points=c.train_num_points,
         oversample_ratio=c.oversample_ratio,
         importance_sample_ratio=c.importance_sample_ratio,
+        bf16_sampling=c.bf16_masks,
         deep_supervision=c.deep_supervision,
     )
     # resampler layer logits: (first + last frame)/2 (brivis.py:217)

@@ -103,6 +103,7 @@ def ov2seg_loss(
         num_points=c.train_num_points,
         oversample_ratio=c.oversample_ratio,
         importance_sample_ratio=c.importance_sample_ratio,
+        bf16_sampling=c.bf16_masks,
     )
     # frame reshape: every frame a sample
     la = outputs["pred_logits_all"]
@@ -121,6 +122,8 @@ def ov2seg_loss(
 
     def layer(xs):
         cls_l, obj_l, masks_l, keys = xs
+        if not s.bf16_sampling:  # f32 sampling policy; see criterion
+            masks_l = masks_l.astype(jnp.float32)
         # matching cost with the fused probability
         # shared y-sorted points per item -> tent-matmul sampler on TPU
         # (see criterion; matching is stop-gradient so no bwd cost)

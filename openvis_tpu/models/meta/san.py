@@ -114,6 +114,7 @@ def san_loss(
         num_points=c.train_num_points,
         oversample_ratio=c.oversample_ratio,
         importance_sample_ratio=c.importance_sample_ratio,
+        bf16_sampling=c.bf16_masks,
         deep_supervision=c.deep_supervision,
     )
     logits_all = outputs["pred_logits_all"]

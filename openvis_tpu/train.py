@@ -137,13 +137,15 @@ def make_loss_fn(
 
             apply_params = jax.tree_util.tree_map_with_path(cast, params)
         out = model.apply({"params": apply_params}, frames, t, batch["text_feats"])
-        # losses run in f32; under the opt-in criterion.bf16_masks the mask
-        # logits stay bf16 through criterion point sampling (the sampled
-        # values upcast inside the criterion — see losses/criterion.py)
-        keep_bf16_masks = amp and cfg.model.criterion.bf16_masks
+        # losses run in f32, but the LAYER-STACKED mask logits stay bf16 in
+        # HBM: set_criterion's scan upcasts each layer's slice right after
+        # reading it (exact — bf16->f32 is lossless), halving the dominant
+        # scan-carried traffic while keeping the reference f32 grid_sample
+        # policy.  criterion.bf16_masks additionally opts the SAMPLING into
+        # bf16 (CriterionSettings.bf16_sampling).
         out = {
             k: (
-                v if (keep_bf16_masks and "masks" in k)
+                v if (amp and "masks_all" in k)
                 else (v.astype(jnp.float32) if isinstance(v, jax.Array) else v)
             )
             for k, v in out.items()

@@ -174,10 +174,11 @@ def test_tracking_match_first_appearance_lock():
     assert a[0, 1] == 5            # slot 1 must take query 5 (3 is used)
 
 
-def test_bf16_masks_close_to_f32():
-    """Opt-in criterion.bf16_masks path: bf16 mask sampling must track the
-    f32 criterion within bf16 tolerance (values); assignment may differ only
-    through near-tied costs, so compare losses, not indices."""
+def test_bf16_stack_exactly_matches_f32_upcast():
+    """Default policy: a bf16 mask STACK fed to set_criterion must produce
+    BITWISE the same losses as pre-upcasting that stack to f32 — the scan
+    keeps the stack bf16 in HBM but samples in f32 (the torch-autocast
+    grid_sample policy), and bf16->f32 is lossless."""
     tg = _targets()
     b, n, t, h, w = tg.masks.shape
     q, c = 10, 7
@@ -185,14 +186,41 @@ def test_bf16_masks_close_to_f32():
     pred_masks = rng.randn(b, q, t, h, w).astype(np.float32) * 3.0
     pred_logits = rng.randn(b, q, c + 1).astype(np.float32)
     s = CriterionSettings(num_classes=c, num_points=512)
-    kwargs = dict(targets=tg, s=s)
+    stack16 = jnp.asarray(pred_masks)[None].astype(jnp.bfloat16)
     l32, _ = set_criterion(
         jax.random.PRNGKey(0), jnp.asarray(pred_logits)[None],
-        jnp.asarray(pred_masks)[None], **kwargs,
+        stack16.astype(jnp.float32), targets=tg, s=s,
     )
     l16, _ = set_criterion(
         jax.random.PRNGKey(0), jnp.asarray(pred_logits)[None],
-        jnp.asarray(pred_masks)[None].astype(jnp.bfloat16), **kwargs,
+        stack16, targets=tg, s=s,
+    )
+    for k in ("loss_ce", "loss_mask", "loss_dice", "total"):
+        np.testing.assert_array_equal(
+            np.asarray(l16[k]), np.asarray(l32[k]), err_msg=k
+        )
+
+
+def test_bf16_sampling_optin_close_to_f32():
+    """Opt-in bf16_sampling: bf16 point sampling must track the f32
+    criterion within bf16 tolerance (values); assignment may differ only
+    through near-tied costs, so compare losses, not indices."""
+    tg = _targets()
+    b, n, t, h, w = tg.masks.shape
+    q, c = 10, 7
+    rng = np.random.RandomState(3)
+    pred_masks = rng.randn(b, q, t, h, w).astype(np.float32) * 3.0
+    pred_logits = rng.randn(b, q, c + 1).astype(np.float32)
+    l32, _ = set_criterion(
+        jax.random.PRNGKey(0), jnp.asarray(pred_logits)[None],
+        jnp.asarray(pred_masks)[None], targets=tg,
+        s=CriterionSettings(num_classes=c, num_points=512),
+    )
+    l16, _ = set_criterion(
+        jax.random.PRNGKey(0), jnp.asarray(pred_logits)[None],
+        jnp.asarray(pred_masks)[None].astype(jnp.bfloat16), targets=tg,
+        s=CriterionSettings(num_classes=c, num_points=512,
+                            bf16_sampling=True),
     )
     for k in ("loss_ce", "loss_mask", "loss_dice"):
         np.testing.assert_allclose(
