@@ -321,14 +321,24 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
     reference, whose single ``ms_deformable_im2col`` launch services all
     levels per block (ms_deform_im2col_cuda.cuh:243-330).
 
-    ``levels`` is a static tuple of (h, w, wp) per level; ``v_refs[l]`` is
-    that level's zero-padded (1, hp_l, wp_l, ch) value block.  Per level the
-    column tents are hoisted into scratch and a ``fori_loop`` walks only the
-    active row-block interval from ``bounds`` — same row gating as v2,
+    ``levels`` is a static tuple of (h, w, wp, pk) per level; ``v_refs[l]``
+    is that level's zero-padded (1, hp_l, wp_l, ch) value block.  Per level
+    the column tents are hoisted into scratch and a ``fori_loop`` walks only
+    the active row-block interval from ``bounds`` — same row gating as v2,
     shared across levels.  ``bounds`` arrives as a per-program (1, 1, nl, 2)
     SMEM BLOCK, not scalar-prefetched: the full (BN, nqb, nl, 2) array
     overflows SMEM at encoder scale (bn=80: 38 KB; Mosaic rejected the
-    prefetch form there while v2's (BN, nqb, 2) still fit)."""
+    prefetch form there while v2's (BN, nqb, 2) still fit).
+
+    ROW PACKING (``pk > 1``): a narrow level (W <= 64) is processed as the
+    reshape (H/pk, pk*W) — the SAME row-major memory — so each 128-lane
+    vector carries ``pk`` feature rows instead of one plus dead padding.
+    Lane j then addresses (row_off=j//W, col=j%W): the column tents use
+    ``col`` and the y-tents a per-lane ``row_off`` offset, which makes the
+    y-tent a wide op instead of a per-query scalar — but each block visit
+    covers pk x the rows, so block visits, MXU dots, and total instruction
+    issue all shrink ~pk x for the narrow levels that otherwise drove ~2/3
+    of the walk at <1/3 lane occupancy."""
     nl = len(levels)
     v_refs = refs[:nl]
     out_ref, tx_ref, acc_ref = refs[nl], refs[nl + 1], refs[nl + 2]
@@ -337,34 +347,58 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
     prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
 
-    for lvl, (h, w, wp) in enumerate(levels):
+    for lvl, (h, w, wp, pk) in enumerate(levels):
         # hoist column tents for this level: tx[q, p, X] = tent(x_qp - X).
         # No `X < w` gating: padded columns hold ZERO values, so stray tent
         # mass there contributes exactly +0.0 to the dot — dropping the mask
-        # saves 2 wide VPU ops per point per level at identical output
-        xj = jax.lax.broadcasted_iota(
+        # saves 2 wide VPU ops per point per level at identical output.
+        # Packed levels fold the attention weight in here too (per-query
+        # rows), saving a wide multiply per (row, point) in the block loop.
+        jj = jax.lax.broadcasted_iota(
             jnp.int32, (bq, wp), 1
         ).astype(jnp.float32)
-        for pi in range(p):
-            xq = x_ref[0, :, lvl * p + pi][:, None]       # (BQ, 1)
-            tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
-            tx_ref[pi, :, :wp] = tx.astype(ct)
+        if pk == 1:
+            roff = None
+            for pi in range(p):
+                xq = x_ref[0, :, lvl * p + pi][:, None]   # (BQ, 1)
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - jj))
+                tx_ref[pi, :, :wp] = tx.astype(ct)
+        else:
+            roff = jnp.floor(jj * (1.0 / w))              # (BQ, WP) lane row
+            col = jj - roff * w
+            col = jnp.where(jj < pk * w, col, -1e4)       # dead lanes
+            for pi in range(p):
+                xq = x_ref[0, :, lvl * p + pi][:, None]
+                aq = a_ref[0, :, lvl * p + pi][:, None]
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - col)) * aq
+                tx_ref[pi, :, :wp] = tx.astype(ct)
 
         lo = bounds_ref[0, 0, lvl, 0]
         hi = bounds_ref[0, 0, lvl, 1]
 
-        def block_body(rb, lvl=lvl, h=h, w=w, wp=wp):
+        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff):
             r0 = (rb * rr).astype(jnp.float32)
             lhs_rows = []
             for ri in range(rr):
                 rf = r0 + ri
                 lhs = jnp.zeros((bq, wp), ct)
                 for pi in range(p):
-                    ty = jnp.maximum(
-                        0.0, 1.0 - jnp.abs(y_ref[0, :, lvl * p + pi] - rf)
-                    )
-                    wgt = (a_ref[0, :, lvl * p + pi] * ty).astype(ct)[:, None]
-                    lhs = lhs + wgt * tx_ref[pi, :, :wp]
+                    if pk == 1:
+                        ty = jnp.maximum(
+                            0.0,
+                            1.0 - jnp.abs(y_ref[0, :, lvl * p + pi] - rf),
+                        )
+                        wgt = (
+                            a_ref[0, :, lvl * p + pi] * ty
+                        ).astype(ct)[:, None]
+                        lhs = lhs + wgt * tx_ref[pi, :, :wp]
+                    else:
+                        # packed row ri holds original rows rf*pk+roff(j)
+                        dyy = (
+                            y_ref[0, :, lvl * p + pi] - rf * pk
+                        )[:, None] - roff
+                        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+                        lhs = lhs + ty.astype(ct) * tx_ref[pi, :, :wp]
                 lhs_rows.append(lhs)
             lhs_all = jnp.concatenate(lhs_rows, axis=1)   # (BQ, RR*WP)
             vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
@@ -485,19 +519,30 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
     bounds = []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
-        hp = _round_up(h, rr)
-        wp = _round_up(w, 128)
-        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
-        v_pad = v_pad.at[:, :h, :w].set(
-            value_t[:, start : start + h * w].reshape(bn, h, w, ch)
-        )
+        # narrow levels: pack pk rows per 128-lane vector — the (H/pk,
+        # pk*W) reshape of the SAME row-major storage (see kernel docs)
+        pk = max(1, 128 // w) if w <= 64 else 1
+        hpk = -(-h // pk)                                 # packed rows
+        hp = _round_up(hpk, rr)
+        wp = _round_up(pk * w, 128)
+        v_lvl = value_t[:, start : start + h * w].reshape(bn, h, w, ch)
         start += h * w
+        if pk > 1:
+            v_row = jnp.zeros((bn, hpk * pk, w, ch), value.dtype)
+            v_lvl = v_row.at[:, :h].set(v_lvl).reshape(bn, hpk, pk * w, ch)
+        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+        v_pad = v_pad.at[:, : v_lvl.shape[1], : v_lvl.shape[2]].set(v_lvl)
         v_pads.append(v_pad)
-        level_meta.append((h, w, wp))
-        bounds.append(_row_block_bounds(y_all[:, :, lvl], nqb, bq, rr,
-                                        hp // rr))
+        level_meta.append((h, w, wp, pk))
+        # bounds in PACKED row units: y/pk is a conservative hull (tent
+        # support (y-1, y+1) maps inside ((y-pk)/pk, (y+pk)/pk)); keep the
+        # -10 pad fill UNscaled so the flags' pad test (y <= -9) still fires
+        y_lvl = y_all[:, :, lvl]
+        if pk > 1:
+            y_lvl = jnp.where(y_lvl > -9.0, y_lvl * (1.0 / pk), y_lvl)
+        bounds.append(_row_block_bounds(y_lvl, nqb, bq, rr, hp // rr))
     bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
-    wp_max = max(wp for _, _, wp in level_meta)
+    wp_max = max(wp for _, _, wp, _ in level_meta)
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -648,7 +693,7 @@ def _dcoord_kernel(flags_ref, y_ref, x_ref, a_ref, g_ref, v_ref,
 def _dvalue_kernel_v2(flags_ref, qb_ref, y_ref, x_ref, a_ref, g_ref, dv_ref,
                       acc_ref,
                       *, h: int, w: int, p: int, bq: int, wp: int, rr: int,
-                      ct=jnp.float32):
+                      ct=jnp.float32, pk: int = 1):
     """dValue with the q-block loop INSIDE the kernel: grid (bn, nrb) only.
     Coordinate arrays arrive head-transposed (BN, P, LQP) so the query axis
     is the (128-aligned) lane dim; g arrives full (1, LQP, ch) in VMEM.
@@ -661,11 +706,24 @@ def _dvalue_kernel_v2(flags_ref, qb_ref, y_ref, x_ref, a_ref, g_ref, dv_ref,
 
     ``ct`` mirrors the forward's compute-dtype policy (AMP): tent DIFFS stay
     f32, bounded tent VALUES and the MXU dot run in ct — f32 HIGHEST is a
-    multi-pass MXU emulation that made the backward ~6x the forward."""
+    multi-pass MXU emulation that made the backward ~6x the forward.
+
+    ``pk``: row packing for narrow levels (see ``_fused_levels_kernel``) —
+    dv comes out in the packed (H/pk, pk*W) layout; the wrapper unpacks by
+    reshape.  No column-validity mask in either layout: stray corner mass
+    for x in (w-1, w) lands on a sliced-off padding lane (pk=1) or on a
+    lane whose ``col`` makes the tent zero (pk>1), so out-of-map corners
+    contribute nothing, matching grid_sample zero padding."""
     rb = pl.program_id(1)
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
-    xj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (bq, wp), 1).astype(jnp.float32)
+    if pk == 1:
+        col, roff = jj, None
+    else:
+        roff = jnp.floor(jj * (1.0 / w))
+        col = jj - roff * w
+        col = jnp.where(jj < pk * w, col, -1e4)           # dead lanes
     r0 = (rb * rr).astype(jnp.float32)
     prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
@@ -674,22 +732,29 @@ def _dvalue_kernel_v2(flags_ref, qb_ref, y_ref, x_ref, a_ref, g_ref, dv_ref,
         @pl.when(flags_ref[0, rb, qb] > 0)
         def _():
             q0 = qb * bq
+            # hoist the ri-independent terms: column tents (with attention
+            # folded in) and the per-point y coords
+            txs, yqs = [], []
+            for pi in range(p):
+                xq = x_ref[0, pi, pl.ds(q0, bq)][:, None]
+                aq = a_ref[0, pi, pl.ds(q0, bq)][:, None]
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - col)) * aq
+                txs.append(tx.astype(ct))
+                yqs.append(y_ref[0, pi, pl.ds(q0, bq)])
             lhs_rows = []
             for ri in range(rr):
                 rf = r0 + ri
                 lhs = jnp.zeros((bq, wp), ct)
                 for pi in range(p):
-                    xq = x_ref[0, pi, pl.ds(q0, bq)][:, None]
-                    tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
-                    tx = jnp.where(xj < w, tx, 0.0)
-                    yq = y_ref[0, pi, pl.ds(q0, bq)]
-                    ty = jnp.maximum(0.0, 1.0 - jnp.abs(yq - rf))
-                    aq = a_ref[0, pi, pl.ds(q0, bq)]
-                    # [:, None] BEFORE the cast: Mosaic can't insert a minor
-                    # dim on a bf16 lane-vector (32-bit relayouts only)
-                    lhs = lhs + (
-                        (aq * ty)[:, None].astype(ct) * tx.astype(ct)
-                    )
+                    if pk == 1:
+                        ty = jnp.maximum(0.0, 1.0 - jnp.abs(yqs[pi] - rf))
+                        # [:, None] BEFORE the cast: Mosaic can't insert a
+                        # minor dim on a bf16 lane-vector
+                        lhs = lhs + ty[:, None].astype(ct) * txs[pi]
+                    else:
+                        dyy = (yqs[pi] - rf * pk)[:, None] - roff
+                        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+                        lhs = lhs + ty.astype(ct) * txs[pi]
                 lhs_rows.append(lhs)
             lhs_all = jnp.concatenate(lhs_rows, axis=1)   # (BQ, RR*WP)
             gq = g_ref[0, pl.ds(q0, bq), :].astype(ct)
@@ -792,13 +857,19 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
             else jax.lax.Precision.HIGHEST)
     g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
 
-    for lvl, (h, w, wp) in enumerate(levels):
-        xj = jax.lax.broadcasted_iota(
+    for lvl, (h, w, wp, pk) in enumerate(levels):
+        jj = jax.lax.broadcasted_iota(
             jnp.int32, (bq, wp), 1
         ).astype(jnp.float32)
+        if pk == 1:
+            col, roff = jj, None
+        else:  # row packing (see _fused_levels_kernel)
+            roff = jnp.floor(jj * (1.0 / w))
+            col = jj - roff * w
+            col = jnp.where(jj < pk * w, col, -1e4)       # dead lanes
         for pi in range(p):
             xq = x_ref[0, :, lvl * p + pi][:, None]       # (BQ, 1)
-            dxx = xq - xj
+            dxx = xq - col
             tx_ref[pi, :, :wp] = jnp.maximum(
                 0.0, 1.0 - jnp.abs(dxx)
             ).astype(ct)
@@ -810,7 +881,7 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
         lo = bounds_ref[0, 0, lvl, 0]
         hi = bounds_ref[0, 0, lvl, 1]
 
-        def block_body(rb, lvl=lvl, wp=wp):
+        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff):
             vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
                 rr * wp, -1
             )
@@ -819,13 +890,22 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
                 yq = y_ref[0, :, lvl * p + pi]
                 rows_s, rows_y, rows_x = [], [], []
                 for ri in range(rr):
-                    dyy = yq - (r0 + ri)
-                    ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
-                    typ = jnp.where(
-                        jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
-                    )
-                    tyc = ty[:, None].astype(ct)
-                    typc = typ[:, None].astype(ct)
+                    if pk == 1:
+                        dyy = yq - (r0 + ri)
+                        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+                        typ = jnp.where(
+                            jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
+                        )
+                        tyc = ty[:, None].astype(ct)
+                        typc = typ[:, None].astype(ct)
+                    else:
+                        dyy = (yq - (r0 + ri) * pk)[:, None] - roff
+                        tyc = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(dyy)
+                        ).astype(ct)
+                        typc = jnp.where(
+                            jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
+                        ).astype(ct)
                     rows_s.append(tyc * tx_ref[pi, :, :wp])
                     rows_y.append(typc * tx_ref[pi, :, :wp])
                     rows_x.append(tyc * txp_ref[pi, :, :wp])
@@ -899,21 +979,30 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
     v_pads = []
     level_meta = []
     bounds = []
+    y_pkd = []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
-        hp = _round_up(h, rr)
-        wp = _round_up(w, 128)
-        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
-        v_pad = v_pad.at[:, :h, :w].set(
-            value_t[:, start : start + h * w].reshape(bn, h, w, ch)
-        )
+        # same row packing as the fused forward (see _fused_levels_kernel)
+        pk = max(1, 128 // w) if w <= 64 else 1
+        hpk = -(-h // pk)
+        hp = _round_up(hpk, rr)
+        wp = _round_up(pk * w, 128)
+        v_lvl = value_t[:, start : start + h * w].reshape(bn, h, w, ch)
         start += h * w
+        if pk > 1:
+            v_row = jnp.zeros((bn, hpk * pk, w, ch), value.dtype)
+            v_lvl = v_row.at[:, :h].set(v_lvl).reshape(bn, hpk, pk * w, ch)
+        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
+        v_pad = v_pad.at[:, : v_lvl.shape[1], : v_lvl.shape[2]].set(v_lvl)
         v_pads.append(v_pad)
-        level_meta.append((h, w, wp))
-        bounds.append(_row_block_bounds(y_all[:, :, lvl], nqb, bq, rr,
-                                        hp // rr))
+        level_meta.append((h, w, wp, pk))
+        y_lvl = y_all[:, :, lvl]
+        if pk > 1:  # packed-row units, pad fill (-10) unscaled
+            y_lvl = jnp.where(y_lvl > -9.0, y_lvl * (1.0 / pk), y_lvl)
+        y_pkd.append(y_lvl)
+        bounds.append(_row_block_bounds(y_lvl, nqb, bq, rr, hp // rr))
     bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
-    wp_max = max(wp for _, _, wp in level_meta)
+    wp_max = max(wp for _, _, wp, _ in level_meta)
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -970,12 +1059,14 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
         ).astype(loc.dtype)
         return dvalue, dloc, unflat0(da).astype(attn.dtype)
     dvalue_parts = []
-    for lvl, (h, w, wp) in enumerate(level_meta):
-        hp = _round_up(h, rr)
+    for lvl, (h, w, wp, pk) in enumerate(level_meta):
+        hpk = -(-h // pk)
+        hp = _round_up(hpk, rr)
         nrb = hp // rr
-        y_l = y_all[:, :, lvl]                            # (BN, LQP, P)
+        # flags/q-bounds in PACKED row units (conservative hull, like the
+        # fused dCoord's bounds)
         flags_t = jnp.swapaxes(
-            _row_block_flags(y_l, nqb, bq, rr, nrb), 1, 2
+            _row_block_flags(y_pkd[lvl], nqb, bq, rr, nrb), 1, 2
         )
         any_q = flags_t.max(axis=-1) > 0
         qlo = jnp.argmax(flags_t, axis=-1).astype(jnp.int32)
@@ -985,12 +1076,12 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
         qbounds = jnp.stack(
             [jnp.where(any_q, qlo, 0), jnp.where(any_q, qhi, 0)], axis=-1
         )
-        y_t = jnp.swapaxes(y_l, 1, 2)                     # (BN, P, LQP)
+        y_t = jnp.swapaxes(y_all[:, :, lvl], 1, 2)        # (BN, P, LQP)
         x_t = jnp.swapaxes(x_all[:, :, lvl], 1, 2)
         a_t = jnp.swapaxes(a_all[:, :, lvl], 1, 2)
         dv = pl.pallas_call(
             functools.partial(_dvalue_kernel_v2, h=h, w=w, p=p, bq=bq,
-                              wp=wp, rr=rr, ct=ct),
+                              wp=wp, rr=rr, ct=ct, pk=pk),
             grid=(bn, nrb),
             in_specs=[
                 pl.BlockSpec((1, nrb, nqb), lambda b_, r: (b_, 0, 0),
@@ -1011,6 +1102,8 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
             ),
             interpret=interpret,
         )(flags_t, qbounds, y_t, x_t, a_t, g_p)
+        if pk > 1:  # unpack (hpk, pk*w) rows back to (h, w)
+            dv = dv[:, :hpk, : pk * w].reshape(bn, hpk * pk, w, ch)
         dvalue_parts.append(dv[:, :h, :w].reshape(bn, h * w, ch))
     dvalue_t = jnp.concatenate(dvalue_parts, axis=1)      # (BN, Len, ch)
 
