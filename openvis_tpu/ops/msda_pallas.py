@@ -1513,7 +1513,7 @@ def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...]):
 
 def ms_deform_attn_pallas(value, spatial_shapes, sampling_locations,
                           attention_weights):
-    """Drop-in for ``msda.ms_deform_attn``: Pallas forward, XLA-autodiff
-    backward."""
+    """Drop-in for ``msda.ms_deform_attn``: Pallas forward and Pallas
+    backward (``ms_deform_attn_pallas_bwd``) via ``custom_vjp``."""
     f = _make_msda(tuple(tuple(s) for s in spatial_shapes))
     return f(value, sampling_locations, attention_weights)

@@ -27,6 +27,10 @@ def _interpret(monkeypatch):
         MP, "_msda_fused",
         functools.partial(MP._msda_fused.__wrapped__, interpret=True),
     )
+    monkeypatch.setattr(
+        MP, "_msda_bwd_fused",
+        functools.partial(MP._msda_bwd_fused.__wrapped__, interpret=True),
+    )
 
 
 @pytest.mark.parametrize("seed", [0, 1])
@@ -128,3 +132,34 @@ def test_row_block_bounds_cover_flags():
                 if len(active):
                     assert lo <= active.min() and hi >= active.max() + 1
                 assert 0 <= lo <= hi <= nrb
+
+
+@pytest.mark.parametrize("shapes", [
+    ((7, 64), (4, 65), (2, 3)),    # pk boundary: w=64 packs (pk=2), w=65 not
+    ((1, 12), (5, 128), (3, 20)),  # h < pk level; exact-128 level
+])
+def test_fused_packing_boundary_shapes(shapes):
+    """Row packing at its decision boundaries (w=64 packs pk=2, w=65 stays
+    unpacked; h smaller than pk; w exactly 128) must still match XLA."""
+    rng = np.random.RandomState(17)
+    L = sum(h * w for h, w in shapes)
+    B, NH, CH, P, LQ = 1, 2, 32, 4, 70
+    value = jnp.asarray(rng.randn(B, L, NH, CH).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, LQ, NH, 3, P, 2) * 1.3 - 0.15)
+                      .astype(np.float32))
+    attn = jnp.asarray(rng.rand(B, LQ, NH, 3, P).astype(np.float32))
+    out = np.asarray(MP.ms_deform_attn_pallas_fwd(value, shapes, loc, attn))
+    xla = np.asarray(ms_deform_attn_xla(value, shapes, loc, attn))
+    np.testing.assert_allclose(out, xla, rtol=1e-4, atol=1e-5)
+
+    g = jnp.asarray(rng.randn(B, LQ, NH * CH).astype(np.float32))
+    _, vjp = jax.vjp(lambda v, l, a: ms_deform_attn_xla(v, shapes, l, a),
+                     value, loc, attn)
+    dv_ref, dl_ref, da_ref = vjp(g)
+    dv, dl, da = MP.ms_deform_attn_pallas_bwd(value, shapes, loc, attn, g)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dl), np.asarray(dl_ref),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
+                               rtol=1e-4, atol=1e-5)
