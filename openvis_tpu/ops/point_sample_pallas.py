@@ -46,6 +46,36 @@ def _round_up(a: int, b: int) -> int:
     return -(-a // b) * b
 
 
+def _split_hi_lo(a):
+    """f32 -> (hi, lo) bf16 pair with a ~= hi + lo (residual ~2^-18 |a|)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot_f32_3pass(lhs, rhs, dims=None):
+    """f32 x f32 MXU dot as THREE native bf16 passes with f32 accumulation
+    (the hi*hi + lo*hi + hi*lo decomposition; the dropped lo*lo term is
+    ~2^-18 relative).  ``Precision.HIGHEST`` on f32 inside a Pallas kernel
+    is a ~6-pass MXU emulation (see CLAUDE.md / ops/msda_pallas.py:85-88);
+    this halves the MXU cost at grid_sample-indistinguishable accuracy
+    (~1e-5 relative vs f32's ~6e-8 — far below the criterion's logit
+    scale)."""
+    lh, ll = _split_hi_lo(lhs)
+    rh, rl = _split_hi_lo(rhs)
+
+    def d(a, b):
+        if dims is None:
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.DEFAULT)
+        return jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+
+    return d(lh, rh) + d(ll, rh) + d(lh, rl)
+
+
 def _fwd_kernel(starts_ref, y_ref, x_ref, v_ref, out_ref, tx_ref, acc_ref,
                 *, w: int, rr: int, kb: int, ct):
     b = pl.program_id(0)
@@ -68,11 +98,13 @@ def _fwd_kernel(starts_ref, y_ref, x_ref, v_ref, out_ref, tx_ref, acc_ref,
         rows.append(ty.astype(ct) * tx_ref[:])
     lhs = jnp.concatenate(rows, axis=1)                   # (PBQ, rr*w)
     vblk = v_ref[0].astype(ct).reshape(rr * w, -1)
-    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
-            else jax.lax.Precision.HIGHEST)
-    acc_ref[:] = acc_ref[:] + jnp.dot(
-        lhs, vblk, preferred_element_type=jnp.float32, precision=prec,
-    )
+    if ct == jnp.bfloat16:
+        acc_ref[:] = acc_ref[:] + jnp.dot(
+            lhs, vblk, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
+        )
+    else:
+        acc_ref[:] = acc_ref[:] + _dot_f32_3pass(lhs, vblk)
 
     @pl.when(k == kb - 1)
     def _fin():
@@ -98,10 +130,8 @@ def _dvalue_kernel(pstarts_ref, y_ref, x_ref, g_ref, dv_ref, acc_ref,
         rows.append(ty * tx)
     lhs = jnp.concatenate(rows, axis=1)                   # (PBQ, rr*w)
     g = g_ref[0].astype(jnp.float32)                      # (PBQ, cR)
-    acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
-        lhs, g, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    acc_ref[:] = acc_ref[:] + _dot_f32_3pass(
+        lhs, g, (((0,), (0,)), ((), ()))
     )                                                     # (rr*w, cR)
 
     @pl.when(kp == kpb - 1)

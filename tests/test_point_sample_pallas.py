@@ -1,6 +1,9 @@
 """Sorted-window Pallas point sampler vs the gather composition
 (interpret mode; small shapes make the static windows cover the whole map,
-so results are exact up to matmul reassociation)."""
+so results are exact up to matmul reassociation and the 3-pass f32 dot
+decomposition — ``_dot_f32_3pass`` drops the lo*lo term, bounding the
+deviation at ~2^-17 of the summed tent mass, i.e. a few e-5 absolute for
+N(0,1) values; tolerances below sit just above that bound)."""
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +33,7 @@ def test_fwd_matches_gather_composition(r, h, w, p):
     value = jnp.transpose(maps, (0, 2, 3, 1))
     out = np.asarray(PSP.point_sample_nhwc_pallas(value, coords,
                                                   interpret=True))
-    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
 
 
 def test_bwd_dvalue_matches_autodiff():
@@ -67,7 +70,7 @@ def test_bwd_dvalue_matches_autodiff():
         got = np.asarray(jax.grad(f_pal)(maps))
     finally:
         M._ps_bwd = orig
-    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
 def test_bwd_scatter_matches_autodiff():
@@ -98,7 +101,7 @@ def test_bwd_scatter_matches_autodiff():
         got_nhwc = np.asarray(jax.grad(f_pal)(maps))
     finally:
         M._BWD_IMPL = orig
-    np.testing.assert_allclose(got_nhwc, want, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got_nhwc, want, rtol=1e-4, atol=1e-4)
 
 
 def test_bf16_path_close():
