@@ -126,11 +126,20 @@ def test_train_then_eval_cli(cli_root, monkeypatch):
 
     monkeypatch.setattr(train_net, "build_text_bank", lambda cfg: _FakeBank())
 
-    monkeypatch.setattr(sys, "argv", ["train_net.py", "--config-file", cfg_path])
+    prof_dir = os.path.join(root, "trace")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_net.py", "--config-file", cfg_path, "--profile-dir", prof_dir],
+    )
     train_net.main()
     ckpt_dir = os.path.join(root, "out", "checkpoints")
     assert os.path.isdir(ckpt_dir) and os.listdir(ckpt_dir), "no checkpoint saved"
     assert os.path.exists(os.path.join(root, "out", "metrics.jsonl"))
+    # --profile-dir wrote a jax.profiler (TensorBoard plugin_profile) trace
+    assert any(
+        fn.endswith((".trace.json.gz", ".xplane.pb"))
+        for _, _, files in os.walk(prof_dir) for fn in files
+    ), "no profiler trace written"
 
     monkeypatch.setattr(
         sys, "argv",

@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--resume", action="store_true")
     p.add_argument("--weights", default="", help="checkpoint dir or pretrained msgpack")
     p.add_argument("--max-videos", type=int, default=None, help="eval video cap")
+    p.add_argument("--profile-dir", default="",
+                   help="dump a jax.profiler trace of train steps 10-12 here "
+                        "(TensorBoard/Perfetto; utils/profiling.trace)")
     # multi-host rendezvous (reference launch(num_machines, machine_rank,
     # dist_url), train_net.py:303-313); on TPU pods all three may be omitted
     p.add_argument("--distributed", action="store_true",
@@ -291,7 +294,20 @@ def main():
     start = int(state.step)
     t0 = time.time()
     timer = StepTimer(os.path.join(out_dir, "metrics.jsonl"))
+    # jax.profiler trace of a few steady-state steps (the reference had no
+    # in-repo profiler, SURVEY §5; on TPU an XLA trace is the native tool)
+    tracing = False
+    # skip warmup/compile steps when the run is long enough to afford it
+    trace_at = start + (10 if cfg.solver.max_iter - start > 13 else 0)
     for it in range(start, cfg.solver.max_iter):
+        if args.profile_dir and it == trace_at:
+            jax.profiler.start_trace(args.profile_dir)
+            tracing = True
+        if tracing and it == trace_at + 3:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            tracing = False
+            logger.info("profiler trace written to %s", args.profile_dir)
         batch = next(loader)
         batch = {
             "pixels": put_global(np.asarray(batch["pixels"]), data),
@@ -314,6 +330,10 @@ def main():
         ):
             save_checkpoint(ckpt_dir, it + 1, jax.device_get(state))
             logger.info("saved checkpoint at %d", it + 1)
+    if tracing:  # short runs: close the trace rather than leak it
+        jax.block_until_ready(state.params)
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", args.profile_dir)
 
 
 if __name__ == "__main__":
