@@ -155,6 +155,9 @@ class TestConfig:
     overlap_threshold: float = 0.0
     topk_per_video: int = 10
     max_frames: int = 128             # pad/bucket bound for eval videos (static shapes)
+    # [[dataset, metric, expected, tolerance], ...] checked after evaluation
+    # (reference train_net.py:294-295 verify_results over TEST.EXPECTED_RESULTS)
+    expected_results: Tuple = ()
 
 
 @dataclass(frozen=True)

@@ -44,6 +44,35 @@ from openvis_tpu.models.tracking import apply_track_indices, track_by_embeds
 logger = logging.getLogger(__name__)
 
 
+def verify_expected_results(expected, dataset_name: str, metrics: Dict) -> bool:
+    """Check eval metrics against config expectations — the reference's
+    ``verify_results(cfg, res)`` over ``TEST.EXPECTED_RESULTS``
+    (train_net.py:294-295).  ``expected`` is the config's
+    ``model.test.expected_results``: [dataset, metric, value, tolerance]
+    rows; rows for other datasets are skipped.  Logs each comparison and
+    returns False if any row for this dataset is missing or out of
+    tolerance."""
+    ok = True
+    for row in expected:
+        ds, metric, want, tol = row
+        if ds != dataset_name:
+            continue
+        if metric not in metrics:
+            logger.error("expected_results: %s has no metric %r (have %s)",
+                         dataset_name, metric, sorted(metrics))
+            ok = False
+            continue
+        got = float(metrics[metric])
+        good = abs(got - float(want)) <= float(tol)
+        (logger.info if good else logger.error)(
+            "expected_results: %s %s = %.4f, expected %.4f ± %.4f -> %s",
+            dataset_name, metric, got, float(want), float(tol),
+            "OK" if good else "FAIL",
+        )
+        ok = ok and good
+    return ok
+
+
 def make_evaluator(info):
     """Dispatch on the dataset's eval protocol (Trainer.build_evaluator,
     reference train_net.py:78-88): BURST datasets get HOTA+TrackMAP, the

@@ -490,3 +490,24 @@ def test_clip_ensemble_combination():
     np.testing.assert_allclose(out[0, 0], np.sqrt(0.8 * 0.5), rtol=1e-5)
     # invalid query 1: clip side maps back to ones -> sqrt(s * 1)
     np.testing.assert_allclose(out[1, 0], np.sqrt(0.5), rtol=1e-5)
+
+
+def test_verify_expected_results():
+    """Reference verify_results over TEST.EXPECTED_RESULTS (train_net.py:295):
+    in-tolerance passes, out-of-tolerance / missing metric fails, other
+    datasets' rows are skipped."""
+    from openvis_tpu.engine import verify_expected_results
+
+    metrics = {"AP": 0.351, "AP50": 0.60}
+    exp_ok = (["ds1", "AP", 0.35, 0.01], ["other", "AP", 0.9, 0.0])
+    assert verify_expected_results(exp_ok, "ds1", metrics)
+    assert not verify_expected_results(
+        (["ds1", "AP", 0.50, 0.01],), "ds1", metrics)
+    assert not verify_expected_results(
+        (["ds1", "nope", 0.50, 0.01],), "ds1", metrics)
+    # config round-trip: YAML list-of-lists lands as a tuple of rows
+    cfg = Config()
+    test_cfg = dataclasses.replace(
+        cfg.model.test, expected_results=([["ds1", "AP", 0.35, 0.01]]))
+    assert verify_expected_results(
+        tuple(test_cfg.expected_results), "ds1", metrics)

@@ -94,7 +94,7 @@ def main():
     from openvis_tpu.config import load_config
     from openvis_tpu.data import catalog
     from openvis_tpu.data.loader import TrainLoader
-    from openvis_tpu.engine import evaluate_dataset
+    from openvis_tpu.engine import evaluate_dataset, verify_expected_results
     from openvis_tpu.parallel.mesh import (
         data_sharding,
         make_mesh,
@@ -253,6 +253,7 @@ def main():
             vtree = load_msgpack(cfg.model.clip_adapter.weights)["visual"]
             clip_visual_apply = lambda imgs: vis.apply({"params": vtree}, imgs)
 
+        all_expected_ok = True
         for ds in cfg.datasets.test:
             names = list(catalog.get(ds).thing_classes)
             tf = bank.encode(names)
@@ -263,6 +264,11 @@ def main():
             logger.info("%s: %s", ds, json.dumps(metrics))
             with open(os.path.join(out_dir, f"metrics_{ds}.json"), "w") as f:
                 json.dump(metrics, f)
+            all_expected_ok &= verify_expected_results(
+                cfg.model.test.expected_results, ds, metrics
+            )
+        if not all_expected_ok:  # reference verify_results (train_net.py:295)
+            raise SystemExit("evaluation results differ from expected_results")
         return
 
     # --- train loop ---
