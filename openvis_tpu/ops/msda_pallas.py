@@ -338,7 +338,17 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
     y-tent a wide op instead of a per-query scalar — but each block visit
     covers pk x the rows, so block visits, MXU dots, and total instruction
     issue all shrink ~pk x for the narrow levels that otherwise drove ~2/3
-    of the walk at <1/3 lane occupancy."""
+    of the walk at <1/3 lane occupancy.
+
+    X-FIRST FACTORIZATION (``pk == 1``): bilinear separates as
+    ``S = sum_r ty_r (tx . V[r])``, so instead of building the full tent
+    lhs per block (p*rr wide (BQ, WP) multiply-adds + concats — the
+    measured instruction bottleneck), the kernel dots the HOISTED column
+    tents of all p points at once, ``D_r = tx_all (P*BQ, WP) @ V[r]``, and
+    applies the y-tents to the small (BQ, ch) dot results.  Per block the
+    wide VPU work drops to a handful of (BQ, ch) ops; the MXU does rr dots
+    whose lhs is loop-invariant scratch.  Packed levels keep the tent-lhs
+    form — their y-tent varies per LANE (row_off), so x cannot factor."""
     nl = len(levels)
     v_refs = refs[:nl]
     out_ref, tx_ref, acc_ref = refs[nl], refs[nl + 1], refs[nl + 2]
@@ -361,7 +371,8 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
             roff = None
             for pi in range(p):
                 xq = x_ref[0, :, lvl * p + pi][:, None]   # (BQ, 1)
-                tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - jj))
+                aq = a_ref[0, :, lvl * p + pi][:, None]
+                tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - jj)) * aq
                 tx_ref[pi, :, :wp] = tx.astype(ct)
         else:
             roff = jnp.floor(jj * (1.0 / w))              # (BQ, WP) lane row
@@ -375,37 +386,50 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
 
         lo = bounds_ref[0, 0, lvl, 0]
         hi = bounds_ref[0, 0, lvl, 1]
+        txa = (
+            tx_ref[:, :, :wp].reshape(p * bq, wp) if pk == 1 else None
+        )  # loop-invariant dot lhs: all points' (a-folded) column tents
 
-        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff):
+        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff, txa=txa):
             r0 = (rb * rr).astype(jnp.float32)
+            vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct)
+            if pk == 1:
+                # x-first: one point-batched dot per row, y-tents applied
+                # to the (BQ, ch) results (see kernel docstring)
+                ch = vblk.shape[-1]
+                contrib = jnp.zeros((bq, ch), jnp.float32)
+                for ri in range(rr):
+                    d = jnp.dot(
+                        txa, vblk[ri], preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )                                     # (P*BQ, ch)
+                    rf = r0 + ri
+                    for pi in range(p):
+                        ty = jnp.maximum(
+                            0.0,
+                            1.0 - jnp.abs(y_ref[0, :, lvl * p + pi] - rf),
+                        )
+                        contrib = contrib + ty[:, None] * d[
+                            pi * bq : (pi + 1) * bq
+                        ]
+                acc_ref[:] = acc_ref[:] + contrib
+                return
             lhs_rows = []
             for ri in range(rr):
                 rf = r0 + ri
                 lhs = jnp.zeros((bq, wp), ct)
                 for pi in range(p):
-                    if pk == 1:
-                        ty = jnp.maximum(
-                            0.0,
-                            1.0 - jnp.abs(y_ref[0, :, lvl * p + pi] - rf),
-                        )
-                        wgt = (
-                            a_ref[0, :, lvl * p + pi] * ty
-                        ).astype(ct)[:, None]
-                        lhs = lhs + wgt * tx_ref[pi, :, :wp]
-                    else:
-                        # packed row ri holds original rows rf*pk+roff(j)
-                        dyy = (
-                            y_ref[0, :, lvl * p + pi] - rf * pk
-                        )[:, None] - roff
-                        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
-                        lhs = lhs + ty.astype(ct) * tx_ref[pi, :, :wp]
+                    # packed row ri holds original rows rf*pk+roff(j)
+                    dyy = (
+                        y_ref[0, :, lvl * p + pi] - rf * pk
+                    )[:, None] - roff
+                    ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
+                    lhs = lhs + ty.astype(ct) * tx_ref[pi, :, :wp]
                 lhs_rows.append(lhs)
             lhs_all = jnp.concatenate(lhs_rows, axis=1)   # (BQ, RR*WP)
-            vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
-                rr * wp, -1
-            )
             acc_ref[:] = acc_ref[:] + jnp.dot(
-                lhs_all, vblk, preferred_element_type=jnp.float32,
+                lhs_all, vblk.reshape(rr * wp, -1),
+                preferred_element_type=jnp.float32,
                 precision=prec,
             )
 
@@ -847,7 +871,15 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
     dot like the forward, and the ch-axis reductions happen ONCE per level
     at finalize.  Column tents tx/txp are hoisted per level; the `xj < w`
     masks are dropped (padded value columns are zero, so tent mass there
-    contributes exact +0.0 to every sample)."""
+    contributes exact +0.0 to every sample).
+
+    Unpacked levels (pk == 1) use the X-FIRST FACTORIZATION (see
+    ``_fused_levels_kernel``): per row, TWO point-batched dots against the
+    loop-invariant hoisted tents — ``D = tx_all @ V[r]`` (serves S and Sy)
+    and ``Dp = txp_all @ V[r]`` (serves Sx) — then y-tents combine the
+    small (BQ, ch) results into the sval accumulators.  This removes the
+    per-(pass, point) tent-lhs construction that dominated instruction
+    issue and cuts the MXU work by a third (S and Sy share a dot)."""
     nl = len(levels)
     v_refs = refs[:nl]
     da_ref, dy_ref, dx_ref = refs[nl], refs[nl + 1], refs[nl + 2]
@@ -857,6 +889,7 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
             else jax.lax.Precision.HIGHEST)
     g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
 
+    ch = g.shape[-1]
     for lvl, (h, w, wp, pk) in enumerate(levels):
         jj = jax.lax.broadcasted_iota(
             jnp.int32, (bq, wp), 1
@@ -876,10 +909,56 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
             txp_ref[pi, :, :wp] = jnp.where(
                 jnp.abs(dxx) < 1.0, -jnp.sign(dxx), 0.0
             ).astype(ct)
-        sval_ref[:] = jnp.zeros_like(sval_ref)            # (3P, BQ, ch)
 
         lo = bounds_ref[0, 0, lvl, 0]
         hi = bounds_ref[0, 0, lvl, 1]
+
+        if pk == 1:
+            # x-first walk (see docstring): per-point sample accumulators
+            # ride the fori carry (registers / compiler-managed spill)
+            txa = tx_ref[:, :, :wp].reshape(p * bq, wp)
+            txpa = txp_ref[:, :, :wp].reshape(p * bq, wp)
+
+            def body(rb, carry, lvl=lvl, txa=txa, txpa=txpa):
+                cs, cy, cx = (list(c) for c in carry)
+                vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct)
+                r0 = (rb * rr).astype(jnp.float32)
+                for ri in range(rr):
+                    d = jnp.dot(
+                        txa, vblk[ri], preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )                                     # (P*BQ, ch)
+                    dpp = jnp.dot(
+                        txpa, vblk[ri], preferred_element_type=jnp.float32,
+                        precision=prec,
+                    )
+                    rf = r0 + ri
+                    for pi in range(p):
+                        dyy = y_ref[0, :, lvl * p + pi] - rf
+                        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))[:, None]
+                        typ = jnp.where(
+                            jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
+                        )[:, None]
+                        ds = d[pi * bq : (pi + 1) * bq]
+                        dps = dpp[pi * bq : (pi + 1) * bq]
+                        cs[pi] = cs[pi] + ty * ds
+                        cy[pi] = cy[pi] + typ * ds
+                        cx[pi] = cx[pi] + ty * dps
+                return tuple(cs), tuple(cy), tuple(cx)
+
+            init = tuple(
+                tuple(jnp.zeros((bq, ch), jnp.float32) for _ in range(p))
+                for _ in range(3)
+            )
+            cs, cy, cx = jax.lax.fori_loop(lo, hi, body, init, unroll=False)
+            for pi in range(p):
+                aq = a_ref[0, :, lvl * p + pi]
+                s_da[lvl * p + pi] = jnp.sum(cs[pi] * g, axis=1)
+                s_dy[lvl * p + pi] = aq * jnp.sum(cy[pi] * g, axis=1)
+                s_dx[lvl * p + pi] = aq * jnp.sum(cx[pi] * g, axis=1)
+            continue
+
+        sval_ref[:] = jnp.zeros_like(sval_ref)            # (3P, BQ, ch)
 
         def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff):
             vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
@@ -890,22 +969,13 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
                 yq = y_ref[0, :, lvl * p + pi]
                 rows_s, rows_y, rows_x = [], [], []
                 for ri in range(rr):
-                    if pk == 1:
-                        dyy = yq - (r0 + ri)
-                        ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
-                        typ = jnp.where(
-                            jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
-                        )
-                        tyc = ty[:, None].astype(ct)
-                        typc = typ[:, None].astype(ct)
-                    else:
-                        dyy = (yq - (r0 + ri) * pk)[:, None] - roff
-                        tyc = jnp.maximum(
-                            0.0, 1.0 - jnp.abs(dyy)
-                        ).astype(ct)
-                        typc = jnp.where(
-                            jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
-                        ).astype(ct)
+                    dyy = (yq - (r0 + ri) * pk)[:, None] - roff
+                    tyc = jnp.maximum(
+                        0.0, 1.0 - jnp.abs(dyy)
+                    ).astype(ct)
+                    typc = jnp.where(
+                        jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
+                    ).astype(ct)
                     rows_s.append(tyc * tx_ref[pi, :, :wp])
                     rows_y.append(typc * tx_ref[pi, :, :wp])
                     rows_x.append(tyc * txp_ref[pi, :, :wp])
