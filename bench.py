@@ -119,18 +119,22 @@ def _bench_train_step(cfg, arch, tiny):
     step = jax.jit(make_train_step(loss_fn, tx))
     key = jax.random.PRNGKey(1)
 
-    def run(st):
-        st, metrics = step(st, batch, key)
-        # fence on grad_norm (depends on EVERY grad leaf) — total_loss is a
-        # forward-only value and can be ready before the backward finishes
-        np.asarray(metrics["grad_norm"])
-        return st
+    # compile + warm, fenced on grad_norm (depends on EVERY grad leaf —
+    # total_loss is a forward-only value and can be ready before the
+    # backward finishes)
+    state, metrics = step(state, batch, key)
+    np.asarray(metrics["grad_norm"])
 
-    state = run(state)
     iters = 2 if tiny else 5
     t0 = time.perf_counter()
+    # pipelined step chain (like a real training loop, which never fences
+    # per step — metrics log asynchronously): enqueue all steps, fence the
+    # LAST step's grad_norm, which depends on every prior state update
+    # through the donated-state chain.  Per-call dispatch latency (~35 ms
+    # through the remote-TPU tunnel) overlaps with on-device compute.
     for _ in range(iters):
-        state = run(state)
+        state, metrics = step(state, batch, key)
+    np.asarray(metrics["grad_norm"])
     dt = (time.perf_counter() - t0) / iters * 1e3
     print(json.dumps({
         "metric": f"{arch}_r50_train_step",
