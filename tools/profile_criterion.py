@@ -124,6 +124,17 @@ def main():
     emit("gather_tgt_loss40768", _t(_chain(tgt_sample), tgt_t, pts_l))
     emit("gather_tgt_match12544", _t(_chain(tgt_sample), tgt_t, pts_m))
 
+    # --- the per-layer point-pool sorts (3-array union sort + matcher sort)
+    raw = jax.random.uniform(key, (B, pp_loss, 2), dtype=jnp.float32)
+    mk = jnp.ones((B, pp_loss), jnp.float32)
+    emit("sort_union_40768x3", _t(_chain(
+        lambda z, r, m: jnp.sum(jax.lax.sort(
+            (r[..., 1] * z, r[..., 0], m), dimension=-1, num_keys=1)[0])
+    ), raw, mk))
+    emit("sort_match_12544x2", _t(_chain(
+        lambda z, r: jnp.sum(sort_points_by_y(r * z))
+    ), raw[:, :pp_match]))
+
     # --- top-k threshold over candidates
     emit("topk9408_of_37632", _t(_chain(
         lambda z, x: jnp.sum(
