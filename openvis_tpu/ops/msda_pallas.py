@@ -351,7 +351,9 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
     form — their y-tent varies per LANE (row_off), so x cannot factor."""
     nl = len(levels)
     v_refs = refs[:nl]
-    out_ref, tx_ref, acc_ref = refs[nl], refs[nl + 1], refs[nl + 2]
+    out_ref = refs[nl]
+    tx_refs = refs[nl + 1 : nl + 1 + nl]   # per-level (P*BQ, wp_l) scratch
+    acc_ref = refs[nl + 1 + nl]
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
@@ -359,11 +361,15 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
 
     for lvl, (h, w, wp, pk) in enumerate(levels):
         # hoist column tents for this level: tx[q, p, X] = tent(x_qp - X).
+        # Each level's tents live in their OWN exact-width (P*BQ, wp_l)
+        # scratch — full-width writes/loads, no lane slicing (Mosaic-safe)
+        # and no dead wp_max padding for narrow levels.
         # No `X < w` gating: padded columns hold ZERO values, so stray tent
         # mass there contributes exactly +0.0 to the dot — dropping the mask
         # saves 2 wide VPU ops per point per level at identical output.
-        # Packed levels fold the attention weight in here too (per-query
-        # rows), saving a wide multiply per (row, point) in the block loop.
+        # The attention weight folds in here too (per-query rows), saving a
+        # wide multiply per (row, point) in the block loop.
+        tx_ref = tx_refs[lvl]
         jj = jax.lax.broadcasted_iota(
             jnp.int32, (bq, wp), 1
         ).astype(jnp.float32)
@@ -373,7 +379,7 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
                 xq = x_ref[0, :, lvl * p + pi][:, None]   # (BQ, 1)
                 aq = a_ref[0, :, lvl * p + pi][:, None]
                 tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - jj)) * aq
-                tx_ref[pi, :, :wp] = tx.astype(ct)
+                tx_ref[pi * bq : (pi + 1) * bq, :] = tx.astype(ct)
         else:
             roff = jnp.floor(jj * (1.0 / w))              # (BQ, WP) lane row
             col = jj - roff * w
@@ -382,15 +388,15 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
                 xq = x_ref[0, :, lvl * p + pi][:, None]
                 aq = a_ref[0, :, lvl * p + pi][:, None]
                 tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - col)) * aq
-                tx_ref[pi, :, :wp] = tx.astype(ct)
+                tx_ref[pi * bq : (pi + 1) * bq, :] = tx.astype(ct)
 
         lo = bounds_ref[0, 0, lvl, 0]
         hi = bounds_ref[0, 0, lvl, 1]
-        txa = (
-            tx_ref[:, :, :wp].reshape(p * bq, wp) if pk == 1 else None
-        )  # loop-invariant dot lhs: all points' (a-folded) column tents
+        # loop-invariant dot lhs: all points' (a-folded) column tents
+        txa = tx_ref[:] if pk == 1 else None
 
-        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff, txa=txa):
+        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff, txa=txa,
+                       tx_ref=tx_ref):
             r0 = (rb * rr).astype(jnp.float32)
             vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct)
             if pk == 1:
@@ -424,7 +430,9 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
                         y_ref[0, :, lvl * p + pi] - rf * pk
                     )[:, None] - roff
                     ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))
-                    lhs = lhs + ty.astype(ct) * tx_ref[pi, :, :wp]
+                    lhs = lhs + ty.astype(ct) * tx_ref[
+                        pi * bq : (pi + 1) * bq, :
+                    ]
                 lhs_rows.append(lhs)
             lhs_all = jnp.concatenate(lhs_rows, axis=1)   # (BQ, RR*WP)
             acc_ref[:] = acc_ref[:] + jnp.dot(
@@ -566,7 +574,6 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
             y_lvl = jnp.where(y_lvl > -9.0, y_lvl * (1.0 / pk), y_lvl)
         bounds.append(_row_block_bounds(y_lvl, nqb, bq, rr, hp // rr))
     bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
-    wp_max = max(wp for _, _, wp, _ in level_meta)
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -594,7 +601,11 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
         # bf16 this halves the (BN, LQP, ch) output HBM write + re-read
         out_shape=jax.ShapeDtypeStruct((bn, lqp, ch), value.dtype),
         scratch_shapes=[
-            pltpu.VMEM((p, bq, wp_max), ct),       # tx per point (per level)
+            # per-level exact-width column tents, all points stacked on the
+            # sublane axis (the factorized path's dot lhs, loaded whole)
+            pltpu.VMEM((p * bq, wp_l), ct)
+            for _, _, wp_l, _ in level_meta
+        ] + [
             pltpu.VMEM((bq, ch), jnp.float32),     # cross-level accumulator
         ],
         compiler_params=pltpu.CompilerParams(
@@ -883,7 +894,9 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
     nl = len(levels)
     v_refs = refs[:nl]
     da_ref, dy_ref, dx_ref = refs[nl], refs[nl + 1], refs[nl + 2]
-    tx_ref, txp_ref, sval_ref, s_da, s_dy, s_dx = refs[nl + 3:]
+    tx_refs = refs[nl + 3 : nl + 3 + nl]
+    txp_refs = refs[nl + 3 + nl : nl + 3 + 2 * nl]
+    sval_ref, s_da, s_dy, s_dx = refs[nl + 3 + 2 * nl :]
 
     prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
@@ -891,6 +904,9 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
 
     ch = g.shape[-1]
     for lvl, (h, w, wp, pk) in enumerate(levels):
+        # per-level exact-width (P*BQ, wp_l) tent scratches: full-width
+        # writes/loads, no lane slicing (see _fused_levels_kernel)
+        tx_ref, txp_ref = tx_refs[lvl], txp_refs[lvl]
         jj = jax.lax.broadcasted_iota(
             jnp.int32, (bq, wp), 1
         ).astype(jnp.float32)
@@ -903,10 +919,10 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
         for pi in range(p):
             xq = x_ref[0, :, lvl * p + pi][:, None]       # (BQ, 1)
             dxx = xq - col
-            tx_ref[pi, :, :wp] = jnp.maximum(
+            tx_ref[pi * bq : (pi + 1) * bq, :] = jnp.maximum(
                 0.0, 1.0 - jnp.abs(dxx)
             ).astype(ct)
-            txp_ref[pi, :, :wp] = jnp.where(
+            txp_ref[pi * bq : (pi + 1) * bq, :] = jnp.where(
                 jnp.abs(dxx) < 1.0, -jnp.sign(dxx), 0.0
             ).astype(ct)
 
@@ -916,8 +932,8 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
         if pk == 1:
             # x-first walk (see docstring): per-point sample accumulators
             # ride the fori carry (registers / compiler-managed spill)
-            txa = tx_ref[:, :, :wp].reshape(p * bq, wp)
-            txpa = txp_ref[:, :, :wp].reshape(p * bq, wp)
+            txa = tx_ref[:]
+            txpa = txp_ref[:]
 
             def body(rb, carry, lvl=lvl, txa=txa, txpa=txpa):
                 cs, cy, cx = (list(c) for c in carry)
@@ -960,13 +976,16 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
 
         sval_ref[:] = jnp.zeros_like(sval_ref)            # (3P, BQ, ch)
 
-        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff):
+        def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff,
+                       tx_ref=tx_ref, txp_ref=txp_ref):
             vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
                 rr * wp, -1
             )
             r0 = (rb * rr).astype(jnp.float32)
             for pi in range(p):
                 yq = y_ref[0, :, lvl * p + pi]
+                txi = tx_ref[pi * bq : (pi + 1) * bq, :]
+                txpi = txp_ref[pi * bq : (pi + 1) * bq, :]
                 rows_s, rows_y, rows_x = [], [], []
                 for ri in range(rr):
                     dyy = (yq - (r0 + ri) * pk)[:, None] - roff
@@ -976,9 +995,9 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
                     typc = jnp.where(
                         jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
                     ).astype(ct)
-                    rows_s.append(tyc * tx_ref[pi, :, :wp])
-                    rows_y.append(typc * tx_ref[pi, :, :wp])
-                    rows_x.append(tyc * txp_ref[pi, :, :wp])
+                    rows_s.append(tyc * txi)
+                    rows_y.append(typc * txi)
+                    rows_x.append(tyc * txpi)
                 for si, rows in ((0, rows_s), (1, rows_y), (2, rows_x)):
                     lhs = jnp.concatenate(rows, axis=1)   # (BQ, RR*WP)
                     sval_ref[si * p + pi] = sval_ref[si * p + pi] + jnp.dot(
@@ -1072,7 +1091,6 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
         y_pkd.append(y_lvl)
         bounds.append(_row_block_bounds(y_lvl, nqb, bq, rr, hp // rr))
     bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
-    wp_max = max(wp for _, _, wp, _ in level_meta)
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -1105,8 +1123,13 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
                 for _ in range(3)
             ],
             scratch_shapes=[
-                pltpu.VMEM((p, bq, wp_max), ct),              # tx
-                pltpu.VMEM((p, bq, wp_max), ct),              # txp
+                # per-level exact-width tents (tx then txp; see kernel)
+                pltpu.VMEM((p * bq, wp_l), ct)
+                for _, _, wp_l, _ in level_meta
+            ] + [
+                pltpu.VMEM((p * bq, wp_l), ct)
+                for _, _, wp_l, _ in level_meta
+            ] + [
                 pltpu.VMEM((3 * p, bq, ch), jnp.float32),     # sval
                 pltpu.VMEM((nl * p, bq), jnp.float32),
                 pltpu.VMEM((nl * p, bq), jnp.float32),
