@@ -29,6 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from openvis_tpu.utils.image import resize_bicubic_torch
+
 NEG_INF = -1e9
 
 
@@ -134,15 +136,16 @@ class CLIPTextEncoder(nn.Module):
 def resize_pos_embed(
     pos: jax.Array, grid_hw: Tuple[int, int], src_grid: Optional[int] = None
 ) -> jax.Array:
-    """Bilinearly resize a (1+G*G, C) ViT positional embedding to a new
-    (H', W') patch grid (``side_adapter.py:41-67``).  Returns (1+H'*W', C)."""
+    """Resize a (1+G*G, C) ViT positional embedding to a new (H', W') patch
+    grid with the reference's exact interpolation — BICUBIC, antialias=False
+    (``side_adapter.py:41-67`` resize_pos_embed2d defaults).  Returns
+    (1+H'*W', C)."""
     n, c = pos.shape
     g = src_grid or int(round((n - 1) ** 0.5))
     cls, grid = pos[:1], pos[1:]
     if (g, g) == tuple(grid_hw):
         return pos
-    grid = grid.reshape(g, g, c)
-    grid = jax.image.resize(grid, (grid_hw[0], grid_hw[1], c), method="bilinear")
+    grid = resize_bicubic_torch(grid.reshape(g, g, c), tuple(grid_hw))
     return jnp.concatenate([cls, grid.reshape(-1, c)], axis=0)
 
 

@@ -17,8 +17,6 @@ Param layout matches ``CLIPVisionTransformer`` exactly, plus
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -28,9 +26,12 @@ from openvis_tpu.models.clip.model import (
     CLIP_PIXEL_MEAN,
     CLIP_PIXEL_STD,
     LayerNormF32,
-    _MODEL_SHAPES,
     quick_gelu,
     resize_pos_embed,
+)
+from openvis_tpu.utils.image import (
+    resize_bicubic_torch,
+    resize_bilinear_torch_hw,
 )
 
 
@@ -125,9 +126,10 @@ class MasQCLIPVisual(nn.Module):
         tokens = LayerNormF32(name="ln_pre")(tokens)
 
         # attention allow-mask: patch inside the (max-pooled) mask, cls free
-        m = jax.image.resize(
-            masks, (b, q, h * self.patch_size, w * self.patch_size),
-            method="bilinear",
+        # (exact torch bilinear — identity when masks already arrive at the
+        # CLIP input resolution, the usual case)
+        m = resize_bilinear_torch_hw(
+            masks, (h * self.patch_size, w * self.patch_size)
         )
         m = nn.max_pool(
             m[..., None].reshape(b * q, h * self.patch_size, w * self.patch_size, 1),
@@ -151,8 +153,10 @@ class MasQCLIPVisual(nn.Module):
 
 
 def preprocess_frames(frames_raw: jax.Array, size: int) -> jax.Array:
-    n = frames_raw.shape[0]
-    x = jax.image.resize(frames_raw / 255.0, (n, size, size, 3), method="cubic")
+    """(N, H, W, 3) raw 0-255 -> CLIP-normalized at ``size`` with the
+    reference's exact bicubic (masqclip_adapter.py:229 interpolate
+    mode="bicubic"; see utils/image.py for the torch-kernel rationale)."""
+    x = resize_bicubic_torch(frames_raw / 255.0, (size, size))
     mean = jnp.asarray(CLIP_PIXEL_MEAN, x.dtype)
     std = jnp.asarray(CLIP_PIXEL_STD, x.dtype)
     return (x - mean) / std

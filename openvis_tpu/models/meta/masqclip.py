@@ -23,6 +23,7 @@ from openvis_tpu.config import ModelConfig
 from openvis_tpu.models.clip.model import _MODEL_SHAPES
 from openvis_tpu.models.clip_masq import MasQCLIPVisual, preprocess_frames
 from openvis_tpu.models.segmenter import Segmenter
+from openvis_tpu.utils.image import resize_bilinear_torch_hw
 from openvis_tpu.ops.point_sample import (
     sample_maps_shared,
     sort_points_by_y,
@@ -66,7 +67,8 @@ class MasQCLIPModel(nn.Module):
 
         # per-frame masks at CLIP resolution: (B*T, Q, s, s)
         m = jnp.swapaxes(masks, 1, 2).reshape(b * t, q, *masks.shape[-2:])
-        m = jax.image.resize(m, (b * t, q, s, s), method="bilinear")
+        # exact torch bilinear, no antialias (masqclip_adapter.py:179)
+        m = resize_bilinear_torch_hw(m, (s, s))
 
         feats = visual(clip_in, m)                       # (B*T, Q, D)
         logits = 100.0 * jnp.einsum("nqd,kd->nqk", feats, text_feats)

@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from openvis_tpu.models.position_encoding import position_encoding_2d
 from openvis_tpu.ops.msda import ms_deform_attn
+from openvis_tpu.utils.image import resize_bilinear_torch
 
 
 def _ring_bias_init(n_heads: int, n_levels: int, n_points: int):
@@ -146,9 +147,10 @@ class MSDeformAttnEncoder(nn.Module):
 
 
 def resize_bilinear(x: jax.Array, size: Tuple[int, int]) -> jax.Array:
-    """NHWC bilinear resize, half-pixel centers (= torch align_corners=False)."""
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, size[0], size[1], c), method="bilinear")
+    """NHWC bilinear resize, exact torch align_corners=False semantics in
+    BOTH directions (jax.image.resize antialiases downscales — the SAN
+    extra-feature merge can downscale CLIP taps onto res5; utils/image.py)."""
+    return resize_bilinear_torch(x, size)
 
 
 class BasePixelDecoder(nn.Module):

@@ -20,7 +20,7 @@ Rebuild of ``SideAdapter``
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +32,8 @@ from openvis_tpu.models.clip.model import (
     CLIP_PIXEL_STD,
     CLIPVisionTransformer,
     _MODEL_SHAPES,
-    resize_pos_embed,
 )
+from openvis_tpu.utils.image import resize_bicubic_torch
 
 
 def adaptive_max_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
@@ -104,12 +104,10 @@ class SideAdapter(nn.Module):
 
     def preprocess(self, frames_raw: jax.Array) -> jax.Array:
         """(N, H, W, 3) in [0,255] -> CLIP-normalized at input_resolution
-        (side_adapter.py:152-154)."""
-        n = frames_raw.shape[0]
+        (side_adapter.py:150-154); the resize is the reference's exact
+        bicubic (torch kernel a=-0.75, no antialias — see utils/image.py)."""
         s = self.input_resolution
-        x = jax.image.resize(
-            frames_raw / 255.0, (n, s, s, 3), method="cubic"
-        )
+        x = resize_bicubic_torch(frames_raw / 255.0, (s, s))
         mean = jnp.asarray(CLIP_PIXEL_MEAN, x.dtype)
         std = jnp.asarray(CLIP_PIXEL_STD, x.dtype)
         return (x - mean) / std

@@ -39,6 +39,10 @@ from openvis_tpu.models.position_encoding import (
     position_encoding_2d,
     position_encoding_3d,
 )
+from openvis_tpu.utils.image import (
+    resize_bilinear_torch,
+    resize_bilinear_torch_hw,
+)
 
 NEG_INF = -1e9
 
@@ -145,10 +149,11 @@ class FFNLayer(nn.Module):
 
 
 def _resize_mask(m: jax.Array, size: Tuple[int, int]) -> jax.Array:
-    """(..., H, W) bilinear resize (half-pixel centers, like torch
-    ``align_corners=False``)."""
-    out_shape = (*m.shape[:-2], *size)
-    return jax.image.resize(m, out_shape, method="bilinear")
+    """(..., H, W) bilinear resize with the reference's exact torch
+    semantics (align_corners=False, NO antialias): the attn bias below reads
+    the SIGN of the resized logits, and jax.image.resize's antialiased
+    downscale flips signs near mask boundaries (utils/image.py)."""
+    return resize_bilinear_torch_hw(m, size)
 
 
 def attn_bias_from_mask_logits(
@@ -315,9 +320,9 @@ class MaskedTransformerDecoder(nn.Module):
             # (N, clip_heads, h, w, C)
             base = mf if not video else mf.reshape(bs * t, *mf.shape[2:])
             n_, hm, wm, cm = base.shape
-            af = jax.image.resize(
-                base, (n_, hm // 4, wm // 4, cm), method="bilinear"
-            )
+            # exact torch bilinear (no antialias), like the reference's
+            # F.interpolate(scale_factor=0.25) — see utils/image.py
+            af = resize_bilinear_torch(base, (hm // 4, wm // 4))
             af = nn.relu(nn.Conv(self.hidden_dim, (1, 1), name="attn_mlp0")(af))
             af = nn.relu(nn.Conv(self.hidden_dim, (1, 1), name="attn_mlp1")(af))
             af = nn.Conv(self.hidden_dim * self.clip_heads, (1, 1), name="attn_mlp2")(af)

@@ -183,10 +183,12 @@ def _msda_grid_sample(value, shapes, loc, attn):
     )
 
 
-def _pixel_decoder(params, feats):
+def _pixel_decoder(params, feats, extra=None):
     """MSDeformAttnPixelDecoder forward, re-typed from
     msdeformattn.py:280-380 (top-down input projs + level_embed, deformable
-    encoder, FPN tail to stride 4)."""
+    encoder, FPN tail to stride 4).  ``extra``: optional per-level NCHW maps
+    (SAN's CLIP taps, top-down order) added onto the projected inputs after
+    a bilinear resize (msdeformattn.py:338-344)."""
     level_embed = _t(params["level_embed"])
     srcs, poses, shapes = [], [], []
     for idx, f in enumerate(["res5", "res4", "res3"]):
@@ -194,6 +196,12 @@ def _pixel_decoder(params, feats):
         s = _gn(_conv(x, params[f"input_proj{idx}_conv"]),
                 params[f"input_proj{idx}_norm"])
         n, c, h, w = s.shape
+        if extra is not None:
+            ex = extra[idx]
+            if ex.shape[-2:] != (h, w):
+                ex = F.interpolate(ex, size=(h, w), mode="bilinear",
+                                   align_corners=False)
+            s = s + ex
         pe = _pe2d(h, w, c // 2).reshape(h * w, c)
         srcs.append(s.flatten(2).transpose(1, 2))        # (N, hw, C)
         poses.append(pe[None] + level_embed[idx])
