@@ -14,6 +14,9 @@ Runs on a TINY CLIP shape injected into ``_MODEL_SHAPES`` so the whole
 trace stays CPU-cheap; all torch primitives (bicubic/bilinear interpolate,
 adaptive_max_pool2d) are the real reference ops — our resize kernels must
 match them exactly (utils/image.py, tests/test_image.py).
+
+The torch re-typings are module-level functions so the BriVIS composed
+trace (test_torch_parity_e2e_brivis.py) reuses the whole SAN stage 1.
 """
 
 import dataclasses
@@ -65,7 +68,7 @@ BROKEN = 3
 MERGE = (1, 2, 3)
 
 
-def _cfg() -> Config:
+def san_cfg() -> Config:
     cfg = Config()
     m = dataclasses.replace(
         cfg.model,
@@ -147,9 +150,150 @@ def _clip_embed(vp, x_nchw):
     return _clip_ln(x, vp["ln_pre"]), (h, w)
 
 
+# ---------------- reusable SAN stage-1 torch re-typings ------------------
+
+
+def san_front_torch(ca, frames_np, pixel_mean, pixel_std):
+    """Raw frames + CLIP front blocks with taps + 1x1 projections
+    (san.py:212-219 + side_adapter.py:147-174).
+    -> (bk_tokens, (gh, gw), extra feats NCHW top-down)."""
+    vp = ca["visual"]
+    heads = TINY_CLIP["vision_heads"]
+    mean = torch.tensor(np.asarray(pixel_mean, np.float32))
+    std = torch.tensor(np.asarray(pixel_std, np.float32))
+    frames_raw = torch.from_numpy(frames_np) * std + mean
+    x, (gh, gw) = _clip_embed(vp, _clip_preprocess(frames_raw))
+    tapped = {}
+    for i in range(BROKEN):
+        x = _clip_block(x, vp[f"resblock{i}"], heads)
+        if (i + 1) in MERGE:
+            tapped[i + 1] = x
+    mg = []
+    for i, mid in enumerate(MERGE):
+        f = tapped[mid][:, 1:].view(frames_np.shape[0], gh, gw, -1)
+        f = _lin(f, {"kernel": ca[f"attn_proj{i}"]["kernel"][0, 0],
+                     "bias": ca[f"attn_proj{i}"]["bias"]})
+        mg.append(f.permute(0, 3, 1, 2))
+    return x, (gh, gw), mg[::-1]
+
+
+def side_decoder_torch(pp, ms, mask_features):
+    """Side-adapter frame decoder
+    (side_adapter_frame_mask2former_transformer_decoder.py:48-169).
+    -> (all_biases (each (N, nH, Q, h4, w4)), all_masks, dec_out, af)."""
+    heads = TINY_CLIP["vision_heads"]
+    level_embed = _t(pp["level_embed"])
+    query_feat = _t(pp["query_feat"])
+    query_embed = _t(pp["query_embed"])
+    srcs, poses, sizes = [], [], []
+    for i, f in enumerate(ms):
+        n, c, hh, ww = f.shape
+        sizes.append((hh, ww))
+        pe = _pe2d(hh, ww, c // 2).reshape(hh * ww, c)
+        srcs.append(f.flatten(2).transpose(1, 2) + level_embed[i])
+        poses.append(pe[None])
+    n = ms[0].shape[0]
+    output = query_feat[None].expand(n, -1, -1)
+    qpos = query_embed[None].expand(n, -1, -1)
+    mf_nhwc = mask_features.permute(0, 2, 3, 1)
+
+    # attn features: 0.25x mask features -> 3-layer 1x1-conv MLP
+    af = F.interpolate(mask_features,
+                       size=(mask_features.shape[-2] // 4,
+                             mask_features.shape[-1] // 4),
+                       mode="bilinear", align_corners=False)
+    af = af.permute(0, 2, 3, 1)
+    for li, act in (("attn_mlp0", True), ("attn_mlp1", True),
+                    ("attn_mlp2", False)):
+        af = _lin(af, {"kernel": pp[li]["kernel"][0, 0],
+                       "bias": pp[li]["bias"]})
+        if act:
+            af = F.relu(af)
+    h4, w4 = af.shape[1:3]
+    af = af.view(n, h4, w4, heads, HID).permute(0, 3, 1, 2, 4)
+
+    def dec_heads(output):
+        xh = _ln(output, pp["heads"]["decoder_norm"])
+        attn_embed = _mlp(xh, pp["heads"]["attn_embed"], 3)
+        biases = torch.einsum("bqc,bnhwc->bnqhw", attn_embed, af)
+        mask_embed = _mlp(xh, pp["heads"]["mask_embed"], 3)
+        masks = torch.einsum("bqc,bhwc->bqhw", mask_embed, mf_nhwc)
+        return biases, masks, xh
+
+    all_biases, all_masks = [], []
+    biases, masks, dec_out = dec_heads(output)
+    all_biases.append(biases)
+    all_masks.append(masks)
+    bias = _attn_bias(masks, sizes[0])
+    for i in range(DEC_LAYERS):
+        lvl = i % 3
+        cp = pp[f"cross_attn{i}"]
+        o = _mha(output + qpos, srcs[lvl] + poses[lvl], srcs[lvl],
+                 cp["multihead_attn"], NHEADS, bias)
+        output = _ln(output + o, cp["norm"])
+        sp = pp[f"self_attn{i}"]
+        o = _mha(output + qpos, output + qpos, output,
+                 sp["self_attn"], NHEADS)
+        output = _ln(output + o, sp["norm"])
+        fp = pp[f"ffn{i}"]
+        ff = _lin(F.relu(_lin(output, fp["linear1"])), fp["linear2"])
+        output = _ln(output + ff, fp["norm"])
+        biases, masks, dec_out = dec_heads(output)
+        all_biases.append(biases)
+        all_masks.append(masks)
+        bias = _attn_bias(masks, sizes[(i + 1) % 3])
+    return all_biases, all_masks, dec_out, af
+
+
+def san_post_logits_torch(ca, bk_tokens, biases, text_full, grid_hw):
+    """Bias assembly + biased post blocks + sos classification
+    (side_adapter.py:176-270 + :234).  biases: (N, nH, Q, h', w')."""
+    vp = ca["visual"]
+    heads = TINY_CLIP["vision_heads"]
+    gh, gw = grid_hw
+    L = gh * gw
+    lscale = float(np.exp(np.asarray(ca["logit_scale"])))
+    nb, nH, q_, hb, wb = biases.shape
+    ab = F.adaptive_max_pool2d(
+        biases.reshape(nb * nH * q_, 1, hb, wb), (gh, gw)
+    ).reshape(nb, nH, q_, L)
+    S = q_ + 1 + L
+    base = torch.zeros(S, S)
+    base[:, :q_] = -100.0
+    base[torch.arange(q_), torch.arange(q_)] = 0.0
+    base[:q_, q_] = -100.0
+    full = base.expand(nb, nH, S, S).clone()
+    full[:, :, :q_, q_ + 1:] = ab
+    sos = bk_tokens[:, :1].expand(nb, q_, -1)
+    xt = torch.cat([sos, bk_tokens], dim=1)
+    for i in range(BROKEN, TINY_CLIP["vision_layers"]):
+        xt = _clip_block(xt, vp[f"resblock{i}"], heads, full)
+    sos_out = _clip_ln(xt[:, :q_], vp["ln_post"]) @ _t(vp["proj"])
+    sos_out = sos_out / (sos_out.norm(dim=-1, keepdim=True) + 1e-6)
+    return lscale * sos_out @ text_full.T
+
+
+def text_with_bg_torch(ca, text_np):
+    bg = _t(ca["bg_embed"])
+    bg = bg / (bg.norm(dim=-1, keepdim=True) + 1e-6)
+    return torch.cat([torch.from_numpy(text_np), bg], dim=0)
+
+
+def randomize_norm_affines(params, rng):
+    """Replace 1/0 norm affines with random values (init hides order bugs)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.asarray(
+            rng.randn(*v.shape).astype(np.float32) * 0.1 + 1.0
+        ) if "norm" in "/".join(
+            str(getattr(k, "key", k)) for k in p
+        ).lower() else v,
+        params,
+    )
+
+
 def test_san_online_forward_matches_torch_retyping(monkeypatch):
     monkeypatch.setitem(clip_model._MODEL_SHAPES, "TINY/8", TINY_CLIP)
-    cfg = _cfg()
+    cfg = san_cfg()
     model = SANModel(cfg.model)
     rng = np.random.RandomState(0)
     frames = rng.randn(B * T, H, W, 3).astype(np.float32)
@@ -158,140 +302,26 @@ def test_san_online_forward_matches_torch_retyping(monkeypatch):
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(frames), T, jnp.asarray(text)
     )
-    params = variables["params"]
-    # randomize norm affines (init 1/0 hides order bugs)
-    params = jax.tree_util.tree_map_with_path(
-        lambda p, v: jnp.asarray(
-            rng.randn(*v.shape).astype(np.float32) * 0.1 + 1.0
-        ) if "norm" in "/".join(
-            str(getattr(k, "key", k)) for k in p
-        ).lower() else v,
-        params,
-    )
+    params = randomize_norm_affines(variables["params"], rng)
     out = model.apply({"params": params}, jnp.asarray(frames), T,
                       jnp.asarray(text))
 
     ca = params["clip_adapter"]
-    vp = ca["visual"]
     seg = params["segmenter"]
-    heads = TINY_CLIP["vision_heads"]
     with torch.no_grad():
-        # --- raw frames + CLIP front (san.py:212-219 keeps both lists)
-        mean = torch.tensor(np.asarray(cfg.model.pixel_mean, np.float32))
-        std = torch.tensor(np.asarray(cfg.model.pixel_std, np.float32))
-        ft = torch.from_numpy(frames)
-        frames_raw = ft * std + mean
-        x, (gh, gw) = _clip_embed(vp, _clip_preprocess(frames_raw))
-        tapped = {}
-        for i in range(BROKEN):
-            x = _clip_block(x, vp[f"resblock{i}"], heads)
-            if (i + 1) in MERGE:
-                tapped[i + 1] = x
-        bk_tokens = x                                      # (N, 1+L, C)
-
-        # --- tapped features -> 1x1 projections -> extra feats (NCHW)
-        mg = []
-        for i, mid in enumerate(MERGE):
-            f = tapped[mid][:, 1:].view(B * T, gh, gw, -1)
-            f = _lin(f, {"kernel": ca[f"attn_proj{i}"]["kernel"][0, 0],
-                         "bias": ca[f"attn_proj{i}"]["bias"]})
-            mg.append(f.permute(0, 3, 1, 2))
-        extra = mg[::-1]                                   # top-down res5..res3
-
-        # --- backbone + pixel decoder with the CLIP taps merged
+        bk_tokens, grid, extra = san_front_torch(
+            ca, frames, cfg.model.pixel_mean, cfg.model.pixel_std
+        )
         feats = _resnet50(seg["backbone"], frames)
         mask_features, ms = _pixel_decoder(seg["pixel_decoder"], feats, extra)
-
-        # --- side-adapter frame decoder (side_adapter_frame_...py:48-169)
-        pp = seg["predictor"]
-        level_embed = _t(pp["level_embed"])
-        query_feat = _t(pp["query_feat"])
-        query_embed = _t(pp["query_embed"])
-        srcs, poses, sizes = [], [], []
-        for i, f in enumerate(ms):
-            n, c, hh, ww = f.shape
-            sizes.append((hh, ww))
-            pe = _pe2d(hh, ww, c // 2).reshape(hh * ww, c)
-            srcs.append(f.flatten(2).transpose(1, 2) + level_embed[i])
-            poses.append(pe[None])
-        n = ms[0].shape[0]
-        output = query_feat[None].expand(n, -1, -1)
-        qpos = query_embed[None].expand(n, -1, -1)
-        mf_nhwc = mask_features.permute(0, 2, 3, 1)
-
-        # attn features: 0.25x mask features -> 3-layer 1x1-conv MLP
-        af = F.interpolate(mask_features,
-                           size=(mask_features.shape[-2] // 4,
-                                 mask_features.shape[-1] // 4),
-                           mode="bilinear", align_corners=False)
-        af = af.permute(0, 2, 3, 1)
-        for li, act in (("attn_mlp0", True), ("attn_mlp1", True),
-                        ("attn_mlp2", False)):
-            af = _lin(af, {"kernel": pp[li]["kernel"][0, 0],
-                           "bias": pp[li]["bias"]})
-            if act:
-                af = F.relu(af)
-        h4, w4 = af.shape[1:3]
-        af = af.view(n, h4, w4, heads, HID).permute(0, 3, 1, 2, 4)
-
-        def dec_heads(output):
-            xh = _ln(output, pp["heads"]["decoder_norm"])
-            attn_embed = _mlp(xh, pp["heads"]["attn_embed"], 3)
-            biases = torch.einsum("bqc,bnhwc->bnqhw", attn_embed, af)
-            mask_embed = _mlp(xh, pp["heads"]["mask_embed"], 3)
-            masks = torch.einsum("bqc,bhwc->bqhw", mask_embed, mf_nhwc)
-            return biases, masks
-
-        all_biases, all_masks = [], []
-        biases, masks = dec_heads(output)
-        all_biases.append(biases)
-        all_masks.append(masks)
-        bias = _attn_bias(masks, sizes[0])
-        for i in range(DEC_LAYERS):
-            lvl = i % 3
-            cp = pp[f"cross_attn{i}"]
-            o = _mha(output + qpos, srcs[lvl] + poses[lvl], srcs[lvl],
-                     cp["multihead_attn"], NHEADS, bias)
-            output = _ln(output + o, cp["norm"])
-            sp = pp[f"self_attn{i}"]
-            o = _mha(output + qpos, output + qpos, output,
-                     sp["self_attn"], NHEADS)
-            output = _ln(output + o, sp["norm"])
-            fp = pp[f"ffn{i}"]
-            ff = _lin(F.relu(_lin(output, fp["linear1"])), fp["linear2"])
-            output = _ln(output + ff, fp["norm"])
-            biases, masks = dec_heads(output)
-            all_biases.append(biases)
-            all_masks.append(masks)
-            bias = _attn_bias(masks, sizes[(i + 1) % 3])
-
-        # --- post-CLIP with sos tokens per layer (san.py:230-237 loops
-        # layers; side_adapter.py:176-209 + _build_attn_biases :237-270)
-        bg = _t(ca["bg_embed"])
-        bg = bg / (bg.norm(dim=-1, keepdim=True) + 1e-6)
-        text_full = torch.cat([torch.from_numpy(text), bg], dim=0)
-        lscale = float(np.exp(np.asarray(ca["logit_scale"])))
-        L = gh * gw
-        logits_layers = []
-        for biases in all_biases:
-            nb, nH, q_, hb, wb = biases.shape
-            ab = F.adaptive_max_pool2d(
-                biases.reshape(nb * nH * q_, 1, hb, wb), (gh, gw)
-            ).reshape(nb, nH, q_, L)
-            S = Q + 1 + L
-            base = torch.zeros(S, S)
-            base[:, :Q] = -100.0
-            base[torch.arange(Q), torch.arange(Q)] = 0.0
-            base[:Q, Q] = -100.0
-            full = base.expand(nb, nH, S, S).clone()
-            full[:, :, :Q, Q + 1:] = ab
-            sos = bk_tokens[:, :1].expand(nb, Q, -1)
-            xt = torch.cat([sos, bk_tokens], dim=1)
-            for i in range(BROKEN, TINY_CLIP["vision_layers"]):
-                xt = _clip_block(xt, vp[f"resblock{i}"], heads, full)
-            sos_out = _clip_ln(xt[:, :Q], vp["ln_post"]) @ _t(vp["proj"])
-            sos_out = sos_out / (sos_out.norm(dim=-1, keepdim=True) + 1e-6)
-            logits_layers.append(lscale * sos_out @ text_full.T)
+        all_biases, all_masks, _, _ = side_decoder_torch(
+            seg["predictor"], ms, mask_features
+        )
+        text_full = text_with_bg_torch(ca, text)
+        logits_layers = [
+            san_post_logits_torch(ca, bk_tokens, biases, text_full, grid)
+            for biases in all_biases
+        ]
 
     l1 = DEC_LAYERS + 1
     ref_logits = torch.stack(logits_layers).view(l1, B, T, Q, K + 1).numpy()
