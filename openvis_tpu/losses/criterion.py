@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 
 from openvis_tpu.ops.hungarian import batched_hungarian
+from openvis_tpu.ops.select import kth_largest
 from openvis_tpu.ops.point_sample import (
     sample_maps_shared,
     sample_maps_shared_t,
@@ -105,16 +106,25 @@ def match_costs(
         jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
     )
 
-    # sampling runs f32 (the torch-autocast grid_sample policy) unless
-    # criterion.bf16_masks opts into bf16 sampling; a bf16 mask ARRAY is
-    # fine either way — the upcast is exact (the win of keeping the layer
-    # stack bf16 is upstream, in set_criterion's scan slice traffic)
-    if not s.bf16_sampling:
+    # sampling runs under the f32 grid_sample policy (torch autocast pins
+    # grid_sample to fp32) unless criterion.bf16_masks opts into bf16
+    # sampling.  A bf16 mask ARRAY is kept bf16 either way: its values are
+    # f32-exact, so the Pallas sampler's 2-pass split dot (f32_policy)
+    # returns bitwise the same samples as upcasting first, at 2/3 the MXU
+    # cost and half the map traffic.
+    f32p = not s.bf16_sampling
+    if f32p and pred_masks.dtype != jnp.bfloat16:
         pred_masks = pred_masks.astype(jnp.float32)
+    elif not f32p:
+        pred_masks = pred_masks.astype(jnp.bfloat16)
     pm = pred_masks.reshape(b, q * t, h, w)
-    out_pts = sample_maps_shared(pm, coords).astype(jnp.float32)
+    out_pts = sample_maps_shared(pm, coords, f32_policy=f32p).astype(
+        jnp.float32
+    )
     if tgt_t is None:
-        tgt_t = target_rows_t(targets, pred_masks.dtype)
+        tgt_t = target_rows_t(
+            targets, jnp.float32 if f32p else pred_masks.dtype
+        )
     tgt_pts = sample_maps_shared_t(tgt_t, th, tw, coords).astype(jnp.float32)
     out_pts = out_pts.reshape(b, q, t * p)
     tgt_pts = tgt_pts.reshape(b, n, t * p)
@@ -260,15 +270,22 @@ def _loss_masks(
     """
     b, q, t, h, w = pred_masks.shape
     n = targets.labels.shape[1]
-    if not s.bf16_sampling:  # f32 sampling policy; see match_costs
+    # f32 grid_sample policy via f32_policy (bf16 maps stay bf16 — the
+    # sampler's split dot is bitwise equal to upcasting; see match_costs)
+    f32p = not s.bf16_sampling
+    if f32p and pred_masks.dtype != jnp.bfloat16:
         pred_masks = pred_masks.astype(jnp.float32)
+    elif not f32p:
+        pred_masks = pred_masks.astype(jnp.bfloat16)
     src = jnp.take_along_axis(
         pred_masks, assignment[:, :, None, None, None], axis=1
     )  # (B, N, T, H, W)
     rows = src.reshape(b, n * t, h, w)  # sampled in the masks' own dtype
     th, tw = targets.masks.shape[-2:]
     if tgt_t is None:
-        tgt_t = target_rows_t(targets, pred_masks.dtype)
+        tgt_t = target_rows_t(
+            targets, jnp.float32 if f32p else pred_masks.dtype
+        )
     row_w = jnp.broadcast_to(targets.valid[:, :, None], (b, n, t)).reshape(-1)
     row_w = row_w.astype(jnp.float32)
 
@@ -308,7 +325,7 @@ def _loss_masks(
     else:
         cand = sort_points_by_y(cand_raw)
         is_cand = jnp.ones((b, n_sampled), jnp.float32)
-    cand_logits = sample_maps_shared(rows, cand).astype(
+    cand_logits = sample_maps_shared(rows, cand, f32_policy=f32p).astype(
         jnp.float32
     )                                                            # (B, NT, S+R)
     cand_labels = sample_tgt(cand).astype(jnp.float32)
@@ -329,7 +346,10 @@ def _loss_masks(
     key_unc = jax.lax.stop_gradient(-jnp.abs(cand_logits))       # (B, NT, S+R)
     key_unc = jnp.where(is_cand[:, None, :] > 0, key_unc, -jnp.inf)
     if n_uncertain > 0:
-        kth = jax.lax.top_k(key_unc, n_uncertain)[0][..., -1:]
+        # exact k-th value via 32-pass bit descent (ops/select.py): same
+        # threshold as lax.top_k's k-th output without sorting k payload
+        # columns (top_k measured 2.7 ms/layer here)
+        kth = kth_largest(key_unc, n_uncertain)[..., None]
         sel = (key_unc >= kth).astype(jnp.float32)
     else:
         sel = jnp.zeros_like(key_unc)
@@ -391,8 +411,9 @@ def set_criterion(
 
     # Sampling dtype: f32 unless bf16 sampling is opted in.  A bf16 mask
     # STACK is still welcome — the scan slices it layer-by-layer (half the
-    # carried HBM traffic) and upcasts the slice below, which is exact.
-    cdt = pred_masks_all.dtype if s.bf16_sampling else jnp.float32
+    # carried HBM traffic) and the samplers apply the f32 policy to the
+    # bf16 slice exactly (split-dot path; see match_costs).
+    cdt = jnp.bfloat16 if s.bf16_sampling else jnp.float32
 
     # hoisted: one transpose for all layers, in the sampling dtype
     tgt_t = target_rows_t(targets, cdt)
@@ -406,7 +427,12 @@ def set_criterion(
     # itself (see ops/point_sample_pallas.py).
     def layer_loss(args):
         logits, masks, keys = args
-        masks = masks.astype(cdt)
+        if masks.dtype != jnp.bfloat16:
+            # f32 stacks adopt the sampling dtype; bf16 AMP stacks stay
+            # bf16 — match/_loss_masks apply the f32 grid_sample policy
+            # through the sampler's exact split-dot path instead of an
+            # upfront upcast (halves the per-layer slice traffic too)
+            masks = masks.astype(cdt)
         if logits is not None:
             logits = logits.astype(jnp.float32)
         if fixed_assignment is None:

@@ -499,10 +499,45 @@ def _stripe_plan(spatial_shapes, n_stripes: int):
     return tuple(fwd_runs), tuple(inv_runs)
 
 
+def _prep_levels(value_t, y_all, spatial_shapes, nqb, bq, rr, value_dtype,
+                 pack: bool = True):
+    """Shared level prep for the fused kernels: per-level zero-padded value
+    blocks (optionally row-PACKED for narrow levels, see
+    ``_fused_levels_kernel``), level meta (h, w, wp, pk), per-level row-block
+    bounds in (packed) row units, and the packed-unit y coords."""
+    bn = value_t.shape[0]
+    ch = value_t.shape[-1]
+    v_pads, level_meta, bounds, y_pkd = [], [], [], []
+    start = 0
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        pk = max(1, 128 // w) if (pack and w <= 64) else 1
+        hpk = -(-h // pk)
+        hp = _round_up(hpk, rr)
+        wp = _round_up(pk * w, 128)
+        v_lvl = value_t[:, start : start + h * w].reshape(bn, h, w, ch)
+        start += h * w
+        if pk > 1:
+            v_row = jnp.zeros((bn, hpk * pk, w, ch), value_dtype)
+            v_lvl = v_row.at[:, :h].set(v_lvl).reshape(bn, hpk, pk * w, ch)
+        v_pad = jnp.zeros((bn, hp, wp, ch), value_dtype)
+        v_pad = v_pad.at[:, : v_lvl.shape[1], : v_lvl.shape[2]].set(v_lvl)
+        v_pads.append(v_pad)
+        level_meta.append((h, w, wp, pk))
+        # bounds in PACKED row units: y/pk is a conservative hull (tent
+        # support (y-1, y+1) maps inside ((y-pk)/pk, (y+pk)/pk)); keep the
+        # -10 pad fill UNscaled so the flags' pad test (y <= -9) still fires
+        y_lvl = y_all[:, :, lvl]
+        if pk > 1:
+            y_lvl = jnp.where(y_lvl > -9.0, y_lvl * (1.0 / pk), y_lvl)
+        y_pkd.append(y_lvl)
+        bounds.append(_row_block_bounds(y_lvl, nqb, bq, rr, hp // rr))
+    return v_pads, level_meta, jnp.stack(bounds, axis=2), y_pkd
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
-                                             "interpret"))
+                                             "interpret", "pack"))
 def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
-                interpret: bool = False):
+                interpret: bool = False, pack: bool = True):
     """Fused all-level MSDA forward (see ``_fused_levels_kernel``).
 
     value: (B, Len_in, nh, ch); loc: (B, Lq, nh, nl, P, 2) in [0,1];
@@ -546,34 +581,9 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
     )
     a_all = a_all.at[:, :lq].set(attn_t.astype(jnp.float32))
 
-    v_pads = []
-    level_meta = []
-    bounds = []
-    start = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        # narrow levels: pack pk rows per 128-lane vector — the (H/pk,
-        # pk*W) reshape of the SAME row-major storage (see kernel docs)
-        pk = max(1, 128 // w) if w <= 64 else 1
-        hpk = -(-h // pk)                                 # packed rows
-        hp = _round_up(hpk, rr)
-        wp = _round_up(pk * w, 128)
-        v_lvl = value_t[:, start : start + h * w].reshape(bn, h, w, ch)
-        start += h * w
-        if pk > 1:
-            v_row = jnp.zeros((bn, hpk * pk, w, ch), value.dtype)
-            v_lvl = v_row.at[:, :h].set(v_lvl).reshape(bn, hpk, pk * w, ch)
-        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
-        v_pad = v_pad.at[:, : v_lvl.shape[1], : v_lvl.shape[2]].set(v_lvl)
-        v_pads.append(v_pad)
-        level_meta.append((h, w, wp, pk))
-        # bounds in PACKED row units: y/pk is a conservative hull (tent
-        # support (y-1, y+1) maps inside ((y-pk)/pk, (y+pk)/pk)); keep the
-        # -10 pad fill UNscaled so the flags' pad test (y <= -9) still fires
-        y_lvl = y_all[:, :, lvl]
-        if pk > 1:
-            y_lvl = jnp.where(y_lvl > -9.0, y_lvl * (1.0 / pk), y_lvl)
-        bounds.append(_row_block_bounds(y_lvl, nqb, bq, rr, hp // rr))
-    bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
+    v_pads, level_meta, bounds_all, _ = _prep_levels(
+        value_t, y_all, spatial_shapes, nqb, bq, rr, value.dtype, pack=pack
+    )
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -1026,10 +1036,11 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
-                                             "interpret", "parts"))
+                                             "interpret", "parts",
+                                             "dcoord_pack"))
 def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
                     rr: int = 4, interpret: bool = False,
-                    parts=("dvalue", "dcoord")):
+                    parts=("dvalue", "dcoord"), dcoord_pack: bool = False):
     """Fused MSDA backward: shared cross-level coordinate prep (one
     transpose + one pad for all levels, like the fwd), ONE fused dCoord
     launch for all levels, and per-level dValue launches off the shared
@@ -1065,32 +1076,21 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
     g_p = jnp.zeros((bn, lqp, ch), ct)
     g_p = g_p.at[:, :lq].set(g_t.astype(ct))
 
-    v_pads = []
-    level_meta = []
-    bounds = []
-    y_pkd = []
-    start = 0
-    for lvl, (h, w) in enumerate(spatial_shapes):
-        # same row packing as the fused forward (see _fused_levels_kernel)
-        pk = max(1, 128 // w) if w <= 64 else 1
-        hpk = -(-h // pk)
-        hp = _round_up(hpk, rr)
-        wp = _round_up(pk * w, 128)
-        v_lvl = value_t[:, start : start + h * w].reshape(bn, h, w, ch)
-        start += h * w
-        if pk > 1:
-            v_row = jnp.zeros((bn, hpk * pk, w, ch), value.dtype)
-            v_lvl = v_row.at[:, :h].set(v_lvl).reshape(bn, hpk, pk * w, ch)
-        v_pad = jnp.zeros((bn, hp, wp, ch), value.dtype)
-        v_pad = v_pad.at[:, : v_lvl.shape[1], : v_lvl.shape[2]].set(v_lvl)
-        v_pads.append(v_pad)
-        level_meta.append((h, w, wp, pk))
-        y_lvl = y_all[:, :, lvl]
-        if pk > 1:  # packed-row units, pad fill (-10) unscaled
-            y_lvl = jnp.where(y_lvl > -9.0, y_lvl * (1.0 / pk), y_lvl)
-        y_pkd.append(y_lvl)
-        bounds.append(_row_block_bounds(y_lvl, nqb, bq, rr, hp // rr))
-    bounds_all = jnp.stack(bounds, axis=2)                # (BN, nqb, nl, 2)
+    # dValue keeps row packing (its bottleneck is block visits); dCoord
+    # defaults to UNPACKED levels — with the x-first factorization, an
+    # unpacked narrow level costs a handful of (BQ, ch) VPU ops per block,
+    # while the packed tent-lhs form pays 3 full-width (BQ, wp) products
+    # per (point, row)
+    v_pads, level_meta, bounds_all, y_pkd = _prep_levels(
+        value_t, y_all, spatial_shapes, nqb, bq, rr, value.dtype, pack=True
+    )
+    if dcoord_pack:
+        vc_pads, c_meta, c_bounds = v_pads, level_meta, bounds_all
+    else:
+        vc_pads, c_meta, c_bounds, _ = _prep_levels(
+            value_t, y_all, spatial_shapes, nqb, bq, rr, value.dtype,
+            pack=False,
+        )
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -1104,7 +1104,7 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
         da, dy, dx = z, z, z
     else:
         da, dy, dx = pl.pallas_call(
-            functools.partial(_fused_dcoord_kernel, levels=tuple(level_meta),
+            functools.partial(_fused_dcoord_kernel, levels=tuple(c_meta),
                               p=p, bq=bq, rr=rr, ct=ct),
             grid=(bn, nqb),
             in_specs=[
@@ -1115,7 +1115,7 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
             ] + [
                 pl.BlockSpec((1, vp.shape[1], vp.shape[2], ch),
                              lambda b_, q: (b_, 0, 0, 0))
-                for vp in v_pads
+                for vp in vc_pads
             ],
             out_specs=[out_spec, out_spec, out_spec],
             out_shape=[
@@ -1125,10 +1125,10 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
             scratch_shapes=[
                 # per-level exact-width tents (tx then txp; see kernel)
                 pltpu.VMEM((p * bq, wp_l), ct)
-                for _, _, wp_l, _ in level_meta
+                for _, _, wp_l, _ in c_meta
             ] + [
                 pltpu.VMEM((p * bq, wp_l), ct)
-                for _, _, wp_l, _ in level_meta
+                for _, _, wp_l, _ in c_meta
             ] + [
                 pltpu.VMEM((3 * p, bq, ch), jnp.float32),     # sval
                 pltpu.VMEM((nl * p, bq), jnp.float32),
@@ -1139,7 +1139,7 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
-        )(bounds_all, y_flat, x_flat, a_flat, g_p, *v_pads)
+        )(c_bounds, y_flat, x_flat, a_flat, g_p, *vc_pads)
 
     # --- per-level dValue off the shared prep ---
     if "dvalue" not in parts:  # perf-decomposition escape hatch (bench only)

@@ -129,12 +129,19 @@ def sort_points_by_y(coords: jax.Array) -> jax.Array:
 _PALLAS_MAX_HW = 1 << 16
 
 
-def sample_maps_shared(maps: jax.Array, coords: jax.Array) -> jax.Array:
+def sample_maps_shared(
+    maps: jax.Array, coords: jax.Array, f32_policy: bool = False
+) -> jax.Array:
     """Batched ``point_sample_shared``: maps (B, R, H, W), coords (B, P, 2)
     SORTED by y -> (B, R, P).  On TPU, low-res maps go through the
     sorted-window Pallas tent-matmul kernel (ops/point_sample_pallas.py —
     gathers serialize); full-res maps and other backends use the row-gather
-    composition."""
+    composition.
+
+    ``f32_policy``: sample bf16-valued maps under the f32 grid_sample
+    policy WITHOUT pre-upcasting — the Pallas path uses the bitwise-
+    equivalent 2-pass split dot (bf16 values are exact in f32), the
+    fallback upcasts.  No effect on f32 maps."""
     h, w = maps.shape[-2:]
     if jax.default_backend() == "tpu" and h * w <= _PALLAS_MAX_HW:
         from openvis_tpu.ops.point_sample_pallas import (
@@ -142,7 +149,9 @@ def sample_maps_shared(maps: jax.Array, coords: jax.Array) -> jax.Array:
         )
 
         value = jnp.transpose(maps, (0, 2, 3, 1))         # (B, H, W, R)
-        return point_sample_nhwc_pallas(value, coords)
+        return point_sample_nhwc_pallas(value, coords, f32_tents=f32_policy)
+    if f32_policy:
+        maps = maps.astype(jnp.float32)
     return jax.vmap(point_sample_shared)(maps, coords)
 
 

@@ -76,8 +76,8 @@ def _dot_f32_3pass(lhs, rhs, dims=None):
     return d(lh, rh) + d(ll, rh) + d(lh, rl)
 
 
-def _fwd_kernel(starts_ref, y_ref, x_ref, v_ref, out_ref, tx_ref, acc_ref,
-                *, w: int, rr: int, kb: int, ct):
+def _fwd_kernel(sinfo_ref, y_ref, x_ref, v_ref, out_ref, tx_ref, acc_ref,
+                *, w: int, rr: int, kb: int, ct, split2: bool):
     b = pl.program_id(0)
     q = pl.program_id(2)
     k = pl.program_id(3)
@@ -89,30 +89,58 @@ def _fwd_kernel(starts_ref, y_ref, x_ref, v_ref, out_ref, tx_ref, acc_ref,
             jnp.int32, (PBQ, w), 1
         ).astype(jnp.float32)
         xq = x_ref[0]                                     # (PBQ, 1)
-        tx_ref[:] = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj)).astype(ct)
-
-    r0 = ((starts_ref[b, q] + k) * rr).astype(jnp.float32)
-    rows = []
-    for ri in range(rr):
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0] - (r0 + ri)))  # (PBQ, 1)
-        rows.append(ty.astype(ct) * tx_ref[:])
-    lhs = jnp.concatenate(rows, axis=1)                   # (PBQ, rr*w)
-    vblk = v_ref[0].astype(ct).reshape(rr * w, -1)
-    if ct == jnp.bfloat16:
-        acc_ref[:] = acc_ref[:] + jnp.dot(
-            lhs, vblk, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT,
+        tx_ref[:] = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj)).astype(
+            jnp.float32 if split2 else ct
         )
-    else:
-        acc_ref[:] = acc_ref[:] + _dot_f32_3pass(lhs, vblk)
+
+    # exact per-block window gating: k-steps past the block's last tent-
+    # active row contribute EXACT zeros (that is what made the static
+    # window harmless) — skip their tents and dots outright
+    @pl.when(k < sinfo_ref[b, q, 1])
+    def _body():
+        r0 = ((sinfo_ref[b, q, 0] + k) * rr).astype(jnp.float32)
+        rows = []
+        for ri in range(rr):
+            ty = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y_ref[0] - (r0 + ri))
+            )                                             # (PBQ, 1)
+            if split2:
+                rows.append(ty * tx_ref[:])
+            else:
+                rows.append(ty.astype(ct) * tx_ref[:])
+        lhs = jnp.concatenate(rows, axis=1)               # (PBQ, rr*w)
+        vblk = v_ref[0].reshape(rr * w, -1)
+        if split2:
+            # bf16-EXACT values (the AMP mask stack) x f32 tents: split the
+            # TENTS hi/lo and run two native bf16 passes — bitwise equal to
+            # the 3-pass f32 dot on the upcast values, whose third pass
+            # (hi @ value_lo) is identically zero.  Keep the (d1 + d2)
+            # grouping BEFORE adding acc (f32 + is non-associative; the
+            # 3-pass path sums its passes first too).
+            lh, ll = _split_hi_lo(lhs)
+            acc_ref[:] = acc_ref[:] + (jnp.dot(
+                lh, vblk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ) + jnp.dot(
+                ll, vblk, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            ))
+        elif ct == jnp.bfloat16:
+            acc_ref[:] = acc_ref[:] + jnp.dot(
+                lhs, vblk.astype(ct), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
+            )
+        else:
+            acc_ref[:] = acc_ref[:] + _dot_f32_3pass(lhs, vblk.astype(ct))
 
     @pl.when(k == kb - 1)
     def _fin():
         out_ref[0] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _dvalue_kernel(pstarts_ref, y_ref, x_ref, g_ref, dv_ref, acc_ref,
+def _dvalue_kernel(pinfo_ref, y_ref, x_ref, g_ref, dv_ref, acc_ref,
                    *, w: int, rr: int, kpb: int):
+    b = pl.program_id(0)
     r = pl.program_id(2)
     kp = pl.program_id(3)
 
@@ -120,19 +148,27 @@ def _dvalue_kernel(pstarts_ref, y_ref, x_ref, g_ref, dv_ref, acc_ref,
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    xj = jax.lax.broadcasted_iota(jnp.int32, (PBQ, w), 1).astype(jnp.float32)
-    xq = x_ref[0]                                         # (PBQ, 1)
-    tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
-    r0 = (r * rr).astype(jnp.float32)
-    rows = []
-    for ri in range(rr):
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(y_ref[0] - (r0 + ri)))  # (PBQ, 1)
-        rows.append(ty * tx)
-    lhs = jnp.concatenate(rows, axis=1)                   # (PBQ, rr*w)
-    g = g_ref[0].astype(jnp.float32)                      # (PBQ, cR)
-    acc_ref[:] = acc_ref[:] + _dot_f32_3pass(
-        lhs, g, (((0,), (0,)), ((), ()))
-    )                                                     # (rr*w, cR)
+    # exact window gating (see _fwd_kernel): point blocks wholly past the
+    # row block's tent support contribute exact zeros — skip them
+    @pl.when(kp < pinfo_ref[b, r, 1])
+    def _body():
+        xj = jax.lax.broadcasted_iota(
+            jnp.int32, (PBQ, w), 1
+        ).astype(jnp.float32)
+        xq = x_ref[0]                                     # (PBQ, 1)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(xq - xj))
+        r0 = (r * rr).astype(jnp.float32)
+        rows = []
+        for ri in range(rr):
+            ty = jnp.maximum(
+                0.0, 1.0 - jnp.abs(y_ref[0] - (r0 + ri))
+            )                                             # (PBQ, 1)
+            rows.append(ty * tx)
+        lhs = jnp.concatenate(rows, axis=1)               # (PBQ, rr*w)
+        g = g_ref[0].astype(jnp.float32)                  # (PBQ, cR)
+        acc_ref[:] = acc_ref[:] + _dot_f32_3pass(
+            lhs, g, (((0,), (0,)), ((), ()))
+        )                                                 # (rr*w, cR)
 
     @pl.when(kp == kpb - 1)
     def _fin():
@@ -146,15 +182,21 @@ def _window_blocks(mean_span_rows: float, rr: int, n_blocks: int) -> int:
     return max(1, min(n_blocks, -(-int(window_rows + 1) // rr)))
 
 
-@functools.partial(jax.jit, static_argnames=("rr", "interpret"))
-def _ps_fwd(value, ys, xs, rr: int = 2, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("rr", "interpret", "f32_tents"))
+def _ps_fwd(value, ys, xs, rr: int = 2, interpret: bool = False,
+            f32_tents: bool = False):
     """value (B, H, W, R) zero-padded maps; ys/xs (B, PP) pixel coords
     SORTED ascending in y per batch item (pads y=+1e9 at the end)
-    -> (B, PP, R) f32 samples (grid_sample align_corners=False, zero pad)."""
+    -> (B, PP, R) f32 samples (grid_sample align_corners=False, zero pad).
+
+    ``f32_tents`` (bf16 values only): keep tents f32 and run the 2-pass
+    hi/lo-split dot — bitwise equal to upcasting the (bf16-exact) values to
+    f32 and using the 3-pass dot, at 2/3 the MXU cost."""
     bsz, h, w, r = value.shape
     pp = ys.shape[1]
     assert pp % PBQ == 0
     npb = pp // PBQ
+    split2 = bool(f32_tents) and value.dtype == jnp.bfloat16
     ct = jnp.bfloat16 if value.dtype == jnp.bfloat16 else jnp.float32
     rp = _round_up(r, 128)
     cr = rp // 128
@@ -170,11 +212,22 @@ def _ps_fwd(value, ys, xs, rr: int = 2, interpret: bool = False):
     v_pad = v_pad.at[:, :h, :w, :r].set(value)
 
     # first active row block per point block, clamped so start+kb stays
-    # in range (the clamp only widens the window downward — harmless)
-    ymin = ys.reshape(bsz, npb, PBQ).min(axis=-1)
+    # in range (the clamp only widens the window downward — harmless), and
+    # the EXACT number of active k-steps: the last tent-active row is
+    # floor(ymax)+1, anything past it contributes exact zeros and is gated
+    # off in-kernel (pad points at y=1e9 clamp to the full window — at most
+    # the one partial tail block)
+    yblk = ys.reshape(bsz, npb, PBQ)
+    ymin = yblk.min(axis=-1)
+    ymax = yblk.max(axis=-1)
     starts = jnp.clip(
         (jnp.floor(ymin).astype(jnp.int32) - 1) // rr, 0, nrb - kb
     )
+    rb_hi = jnp.clip(
+        (jnp.floor(ymax).astype(jnp.int32) + 1) // rr, 0, nrb - 1
+    )
+    keff = jnp.clip(rb_hi - starts + 1, 1, kb)
+    sinfo = jnp.stack([starts, keff], axis=-1)            # (B, npb, 2)
 
     # coords carried as (B, PP, 1): Mosaic requires the block's last two
     # dims be (8-, 128-divisible) or equal to the array dims — (PBQ, 1) is
@@ -187,17 +240,18 @@ def _ps_fwd(value, ys, xs, rr: int = 2, interpret: bool = False):
             pl.BlockSpec((1, PBQ, 1), lambda b, c, q, k, s: (b, q, 0)),
             pl.BlockSpec((1, PBQ, 1), lambda b, c, q, k, s: (b, q, 0)),
             pl.BlockSpec((1, rr, wp, 128),
-                         lambda b, c, q, k, s: (b, s[b, q] + k, 0, c)),
+                         lambda b, c, q, k, s: (b, s[b, q, 0] + k, 0, c)),
         ],
         out_specs=pl.BlockSpec((1, PBQ, 128),
                                lambda b, c, q, k, s: (b, q, c)),
         scratch_shapes=[
-            pltpu.VMEM((PBQ, wp), ct),             # column tents
+            pltpu.VMEM((PBQ, wp), jnp.float32 if split2 else ct),
             pltpu.VMEM((PBQ, 128), jnp.float32),   # accumulator
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, w=wp, rr=rr, kb=kb, ct=ct),
+        functools.partial(_fwd_kernel, w=wp, rr=rr, kb=kb, ct=ct,
+                          split2=split2),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bsz, pp, rp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
@@ -205,7 +259,7 @@ def _ps_fwd(value, ys, xs, rr: int = 2, interpret: bool = False):
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(starts, ys3, xs3, v_pad)
+    )(sinfo, ys3, xs3, v_pad)
     return out[:, :, :r]
 
 
@@ -229,13 +283,19 @@ def _ps_bwd(value_shape, value_dtype, ys, xs, g, rr: int = 2,
     g_pad = jnp.zeros((bsz, pp, rp), jnp.float32)
     g_pad = g_pad.at[:, :, :r].set(g.astype(jnp.float32))
 
-    # first point block touching rows [r*rr, r*rr+rr): tent support needs
-    # y > r*rr - 1; sorted y -> searchsorted
+    # first/last point blocks touching rows [r*rr, r*rr+rr): tent support
+    # needs r*rr - 1 < y < r*rr + rr; sorted y -> two searchsorteds.  The
+    # exact active k-count gates the static window in-kernel (see fwd)
     r0s = jnp.arange(nrb, dtype=jnp.float32) * rr - 1.0   # (nrb,)
     first_idx = jax.vmap(
         lambda yy: jnp.searchsorted(yy, r0s)
     )(ys).astype(jnp.int32)                               # (B, nrb)
+    past_idx = jax.vmap(
+        lambda yy: jnp.searchsorted(yy, r0s + float(rr) + 1.0)
+    )(ys).astype(jnp.int32)                               # (B, nrb)
     pstarts = jnp.clip(first_idx // PBQ, 0, npb - kpb)
+    kp_hi = jnp.clip(-(-past_idx // PBQ) - pstarts, 1, kpb)
+    pinfo = jnp.stack([pstarts, kp_hi], axis=-1)          # (B, nrb, 2)
 
     ys3 = ys[..., None]
     xs3 = xs[..., None]
@@ -244,11 +304,11 @@ def _ps_bwd(value_shape, value_dtype, ys, xs, g, rr: int = 2,
         grid=(bsz, cr, nrb, kpb),
         in_specs=[
             pl.BlockSpec((1, PBQ, 1),
-                         lambda b, c, rb, kp, s: (b, s[b, rb] + kp, 0)),
+                         lambda b, c, rb, kp, s: (b, s[b, rb, 0] + kp, 0)),
             pl.BlockSpec((1, PBQ, 1),
-                         lambda b, c, rb, kp, s: (b, s[b, rb] + kp, 0)),
+                         lambda b, c, rb, kp, s: (b, s[b, rb, 0] + kp, 0)),
             pl.BlockSpec((1, PBQ, 128),
-                         lambda b, c, rb, kp, s: (b, s[b, rb] + kp, c)),
+                         lambda b, c, rb, kp, s: (b, s[b, rb, 0] + kp, c)),
         ],
         out_specs=pl.BlockSpec((1, rr, wp, 128),
                                lambda b, c, rb, kp, s: (b, rb, 0, c)),
@@ -263,7 +323,7 @@ def _ps_bwd(value_shape, value_dtype, ys, xs, g, rr: int = 2,
                                  "arbitrary"),
         ),
         interpret=interpret,
-    )(pstarts, ys3, xs3, g_pad)
+    )(pinfo, ys3, xs3, g_pad)
     return dv[:, :h, :w, :r].astype(value_dtype)
 
 
@@ -306,16 +366,19 @@ def _ps_bwd_scatter(value_shape, value_dtype, ys, xs, g):
 _BWD_IMPL = os.environ.get("OVT_PS_BWD", "pallas")
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _ps_op(value, ys, xs, interpret=False):
-    return _ps_fwd(value, ys, xs, interpret=interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ps_op(value, ys, xs, interpret=False, f32_tents=False):
+    return _ps_fwd(value, ys, xs, interpret=interpret, f32_tents=f32_tents)
 
 
-def _ps_op_fwd(value, ys, xs, interpret):
-    return _ps_fwd(value, ys, xs, interpret=interpret), (value, ys, xs)
+def _ps_op_fwd(value, ys, xs, interpret, f32_tents):
+    return (
+        _ps_fwd(value, ys, xs, interpret=interpret, f32_tents=f32_tents),
+        (value, ys, xs),
+    )
 
 
-def _ps_op_bwd(interpret, res, g):
+def _ps_op_bwd(interpret, f32_tents, res, g):
     value, ys, xs = res
     if _BWD_IMPL == "xla":
         dv = _ps_bwd_scatter(value.shape, value.dtype, ys, xs, g)
@@ -328,7 +391,8 @@ def _ps_op_bwd(interpret, res, g):
 _ps_op.defvjp(_ps_op_fwd, _ps_op_bwd)
 
 
-def point_sample_nhwc_pallas(value, coords, interpret: bool = False):
+def point_sample_nhwc_pallas(value, coords, interpret: bool = False,
+                             f32_tents: bool = False):
     """Batched shared-point sampling via the windowed tent-matmul kernel.
 
     value (B, H, W, R) channels-last maps; coords (B, P, 2) normalized
@@ -336,7 +400,12 @@ def point_sample_nhwc_pallas(value, coords, interpret: bool = False):
     ``point_sample.sort_points_by_y`` — sorting must happen ONCE on the
     normalized coords so paired pred/target calls at different resolutions
     keep identical point order).  -> (B, R, P) f32.  Gradients flow to
-    ``value`` only (points/targets are stop-gradient in the criterion)."""
+    ``value`` only (points/targets are stop-gradient in the criterion).
+
+    ``f32_tents``: for bf16 ``value`` whose entries are EXACT in bf16 (the
+    AMP mask stack, binary targets), sample with f32 tents via the 2-pass
+    split dot — bitwise equal to upcasting value to f32 first (see
+    ``_ps_fwd``), at 2/3 the MXU cost and half the value HBM traffic."""
     bsz, h, w, r = value.shape
     p = coords.shape[1]
 
@@ -350,5 +419,5 @@ def point_sample_nhwc_pallas(value, coords, interpret: bool = False):
         xs = jnp.concatenate(
             [xs, jnp.full((bsz, pp - p), -10.0, jnp.float32)], axis=1
         )
-    out = _ps_op(value, ys, xs, interpret)                # (B, PP, R)
+    out = _ps_op(value, ys, xs, interpret, f32_tents)     # (B, PP, R)
     return jnp.swapaxes(out[:, :p], 1, 2)                 # (B, R, P)

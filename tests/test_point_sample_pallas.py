@@ -118,3 +118,41 @@ def test_bf16_path_close():
     out = np.asarray(PSP.point_sample_nhwc_pallas(value, coords,
                                                   interpret=True))
     np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
+def test_split2_bitwise_equals_upcast_3pass():
+    """bf16 values + f32 tents (f32_tents=True) must be BITWISE equal to
+    upcasting the values to f32 and using the 3-pass dot: the upcast
+    values' lo-halves are identically zero, so the third pass vanishes."""
+    rng = np.random.RandomState(3)
+    r, h, w, p = 9, 10, 12, 300
+    maps32 = jnp.asarray(rng.randn(2, r, h, w).astype(np.float32))
+    maps16 = maps32.astype(jnp.bfloat16)
+    coords = sort_points_by_y(jnp.asarray(
+        (rng.rand(2, p, 2) * 1.3 - 0.15).astype(np.float32)
+    ))
+    v16 = jnp.transpose(maps16, (0, 2, 3, 1))
+    v32 = jnp.transpose(maps16.astype(jnp.float32), (0, 2, 3, 1))
+    got = np.asarray(PSP.point_sample_nhwc_pallas(
+        v16, coords, interpret=True, f32_tents=True
+    ))
+    ref = np.asarray(PSP.point_sample_nhwc_pallas(
+        v32, coords, interpret=True
+    ))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_window_gating_tall_map():
+    """Tall map at high point count: keff < kb for most blocks — the gated
+    steps must not change results (they contribute exact zeros)."""
+    rng = np.random.RandomState(4)
+    r, h, w, p = 4, 120, 8, 4096
+    maps = jnp.asarray(rng.randn(1, r, h, w).astype(np.float32))
+    coords = sort_points_by_y(jnp.asarray(
+        rng.rand(1, p, 2).astype(np.float32)
+    ))
+    ref = _ref(maps, coords)
+    value = jnp.transpose(maps, (0, 2, 3, 1))
+    out = np.asarray(PSP.point_sample_nhwc_pallas(value, coords,
+                                                  interpret=True))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)

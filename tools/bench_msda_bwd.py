@@ -109,13 +109,16 @@ def bench_parts(tag, b, levels, dtype, iters=6):
     ).reshape(b, lq, nh, nl, p)
     g = jnp.asarray(rng.randn(b, lq, nh * ch).astype(np.float32)).astype(dtype)
 
-    for name, parts in (("dvalue", ("dvalue",)), ("dcoord", ("dcoord",)),
-                        ("both", ("dvalue", "dcoord"))):
-        def chain(v, l, a, gg, parts=parts):
+    for name, parts, dck in (("dvalue", ("dvalue",), False),
+                             ("dcoord", ("dcoord",), False),
+                             ("dcoord_packed", ("dcoord",), True),
+                             ("both", ("dvalue", "dcoord"), False)):
+        def chain(v, l, a, gg, parts=parts, dck=dck):
             s = jnp.zeros((), jnp.float32)
             for _ in range(CH):
                 outs = _msda_bwd_fused(
-                    v + s.astype(v.dtype) * 0, l, a, gg, levels, parts=parts
+                    v + s.astype(v.dtype) * 0, l, a, gg, levels, parts=parts,
+                    dcoord_pack=dck,
                 )
                 s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
             return s
