@@ -50,9 +50,10 @@ def target_rows_t(targets: ClipTargets, dtype=jnp.float32) -> jax.Array:
     full train resolution and the criterion samples targets once per decoder
     layer, so it is hoisted out of the per-layer loop.
 
-    ``dtype`` follows the prediction masks (bf16 under the opt-in
-    ``criterion.bf16_masks``): 0/1 targets are exact in bf16 and the
-    transpose + per-layer gather traffic halves."""
+    ``dtype`` is bf16 regardless of the sampling policy: 0/1 targets are
+    EXACT in bf16 and the samplers' f32_policy path upcasts after the
+    gather (bitwise equal to f32 storage), so the transpose + per-layer
+    gather traffic halves for free."""
     b, n, t = targets.masks.shape[:3]
     th, tw = targets.masks.shape[-2:]
     flat = targets.masks.astype(dtype).reshape(b, n * t, th * tw)
@@ -122,10 +123,10 @@ def match_costs(
         jnp.float32
     )
     if tgt_t is None:
-        tgt_t = target_rows_t(
-            targets, jnp.float32 if f32p else pred_masks.dtype
-        )
-    tgt_pts = sample_maps_shared_t(tgt_t, th, tw, coords).astype(jnp.float32)
+        tgt_t = target_rows_t(targets, jnp.bfloat16)
+    tgt_pts = sample_maps_shared_t(
+        tgt_t, th, tw, coords, f32_policy=f32p
+    ).astype(jnp.float32)
     out_pts = out_pts.reshape(b, q, t * p)
     tgt_pts = tgt_pts.reshape(b, n, t * p)
 
@@ -283,15 +284,13 @@ def _loss_masks(
     rows = src.reshape(b, n * t, h, w)  # sampled in the masks' own dtype
     th, tw = targets.masks.shape[-2:]
     if tgt_t is None:
-        tgt_t = target_rows_t(
-            targets, jnp.float32 if f32p else pred_masks.dtype
-        )
+        tgt_t = target_rows_t(targets, jnp.bfloat16)
     row_w = jnp.broadcast_to(targets.valid[:, :, None], (b, n, t)).reshape(-1)
     row_w = row_w.astype(jnp.float32)
 
     def sample_tgt(c):
         return jax.lax.stop_gradient(
-            sample_maps_shared_t(tgt_t, th, tw, c)
+            sample_maps_shared_t(tgt_t, th, tw, c, f32_policy=f32p)
         )
 
     n_sampled = int(s.num_points * s.oversample_ratio)
@@ -415,8 +414,9 @@ def set_criterion(
     # bf16 slice exactly (split-dot path; see match_costs).
     cdt = jnp.bfloat16 if s.bf16_sampling else jnp.float32
 
-    # hoisted: one transpose for all layers, in the sampling dtype
-    tgt_t = target_rows_t(targets, cdt)
+    # hoisted: one transpose for all layers, bf16 rows under either policy
+    # (binary targets are bf16-exact; see target_rows_t)
+    tgt_t = target_rows_t(targets, jnp.bfloat16)
 
     # lax.scan over the layer axis: one traced (match + loss) instance
     # instead of L unrolled copies.  Round-3 scheduling experiments (v5e,

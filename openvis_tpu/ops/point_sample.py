@@ -57,20 +57,26 @@ def point_sample(maps: jax.Array, coords: jax.Array) -> jax.Array:
 
 
 def point_sample_shared_t(
-    flat_t: jax.Array, h: int, w: int, coords: jax.Array
+    flat_t: jax.Array, h: int, w: int, coords: jax.Array,
+    f32_policy: bool = False,
 ) -> jax.Array:
     """``point_sample_shared`` on a PRE-TRANSPOSED (HW, R) matrix.
 
     Callers sampling the same maps repeatedly (the criterion samples target
     masks once per decoder layer at fresh points) hoist the (R, HW)->(HW, R)
     transpose — at full train resolution it is ~66 MB of traffic per call.
-    """
+
+    ``f32_policy``: sample bf16-EXACT rows (binary targets) under the f32
+    grid_sample policy without storing them f32 — the gather moves bf16
+    bytes and the rows upcast AFTER the gather, bitwise equal to gathering
+    an upcast-f32 matrix (half the matrix + gather traffic)."""
+    cdt = jnp.float32 if f32_policy else flat_t.dtype
     x = coords[:, 0] * w - 0.5
     y = coords[:, 1] * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    lx = (x - x0).astype(flat_t.dtype)
-    ly = (y - y0).astype(flat_t.dtype)
+    lx = (x - x0).astype(cdt)
+    ly = (y - y0).astype(cdt)
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
 
@@ -80,9 +86,9 @@ def point_sample_shared_t(
         inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
         idx = jnp.clip(yy, 0, h - 1) * w + jnp.clip(xx, 0, w - 1)  # (P,)
         g = jnp.take(flat_t, idx, axis=0)               # (P, R) row gather
-        return g * (wgt * inb.astype(flat_t.dtype))[:, None]
+        return g.astype(cdt) * (wgt * inb.astype(cdt))[:, None]
 
-    one = jnp.ones((), flat_t.dtype)
+    one = jnp.ones((), cdt)
     out = (
         corner(0, 0, (one - ly) * (one - lx))
         + corner(0, 1, (one - ly) * lx)
@@ -156,12 +162,17 @@ def sample_maps_shared(
 
 
 def sample_maps_shared_t(
-    flat_t: jax.Array, h: int, w: int, coords: jax.Array
+    flat_t: jax.Array, h: int, w: int, coords: jax.Array,
+    f32_policy: bool = False,
 ) -> jax.Array:
     """Batched ``point_sample_shared_t``: flat_t (B, H*W, R) pre-transposed
     rows, coords (B, P, 2) SORTED by y -> (B, R, P).  The (H*W, R) layout
     IS channels-last (H, W, R) flattened, so the Pallas path (low-res maps
-    only — see ``_PALLAS_MAX_HW``) needs no transpose at all."""
+    only — see ``_PALLAS_MAX_HW``) needs no transpose at all.
+
+    ``f32_policy``: f32 grid_sample policy over bf16-EXACT rows without an
+    upfront upcast — split-dot on the Pallas path, upcast-after-gather on
+    the fallback (both bitwise equal to sampling an f32 copy)."""
     if jax.default_backend() == "tpu" and h * w <= _PALLAS_MAX_HW:
         from openvis_tpu.ops.point_sample_pallas import (
             point_sample_nhwc_pallas,
@@ -169,10 +180,10 @@ def sample_maps_shared_t(
 
         b, hw, r = flat_t.shape
         return point_sample_nhwc_pallas(
-            flat_t.reshape(b, h, w, r), coords
+            flat_t.reshape(b, h, w, r), coords, f32_tents=f32_policy
         )
     return jax.vmap(
-        lambda ft, c: point_sample_shared_t(ft, h, w, c)
+        lambda ft, c: point_sample_shared_t(ft, h, w, c, f32_policy)
     )(flat_t, coords)
 
 

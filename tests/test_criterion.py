@@ -228,3 +228,21 @@ def test_bf16_sampling_optin_close_to_f32():
             err_msg=k,
         )
     assert l16["total"].dtype == jnp.float32
+
+
+def test_shared_t_f32_policy_bitwise_vs_f32_storage():
+    """point_sample_shared_t(f32_policy=True) on bf16-EXACT rows must be
+    BITWISE equal to gathering an upcast-f32 matrix: the gather moves bf16
+    bytes, the upcast happens after (binary targets are bf16-exact)."""
+    from openvis_tpu.ops.point_sample import point_sample_shared_t
+
+    rng = np.random.RandomState(5)
+    h, w, r, p = 37, 53, 9, 400
+    rows = (rng.rand(h * w, r) > 0.5).astype(np.float32)
+    coords = jnp.asarray((rng.rand(p, 2) * 1.2 - 0.1).astype(np.float32))
+    ft16 = jnp.asarray(rows).astype(jnp.bfloat16)
+    got = np.asarray(point_sample_shared_t(ft16, h, w, coords,
+                                           f32_policy=True))
+    ref = np.asarray(point_sample_shared_t(ft16.astype(jnp.float32), h, w,
+                                           coords))
+    np.testing.assert_array_equal(got, ref)
