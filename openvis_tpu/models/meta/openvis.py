@@ -88,6 +88,7 @@ def openvis_ov_scores(
     mask_logits: jax.Array,  # (Q, T, H, W) at input resolution
     text_feats: jax.Array,   # (K, D)
     chunk: int = 5,
+    input_resolution: int = 224,
 ) -> Tuple[jax.Array, jax.Array]:
     """Open-vocabulary inference scores (openvis.py:110-147): chunked CLIP
     crop classification, frame-averaged logits -> softmax.  Returns
@@ -99,7 +100,7 @@ def openvis_ov_scores(
     for i in range(0, t, chunk):  # static python chunking (fixed T per trace)
         lg, va = clip_crop_classify(
             visual_apply, frames_raw[i : i + chunk], masks[i : i + chunk],
-            text_feats,
+            text_feats, input_resolution=input_resolution,
         )
         logits_parts.append(lg)
         valid_parts.append(va)

@@ -266,10 +266,13 @@ def _pixel_decoder(params, feats, extra=None):
     return mask_features, outs[:3]
 
 
-def _heads(params, output, mask_features_nhwc):
+def _heads(params, output, mask_features_nhwc, head="embedding"):
     hp = params["heads"]
     x = _ln(output, hp["decoder_norm"])
-    embeds = _mlp(x, hp["class_embed"], 2)               # embedding head
+    if head == "embedding":
+        embeds = _mlp(x, hp["class_embed"], 2)
+    else:  # "proposal": Linear(hidden, 2) objectness (frame_...py:199-207)
+        embeds = _lin(x, hp["class_embed"])
     mask_embed = _mlp(x, hp["mask_embed"], 3)
     masks = torch.einsum("bqc,bhwc->bqhw", mask_embed, mask_features_nhwc)
     return embeds, masks, x
@@ -286,7 +289,7 @@ def _attn_bias(masks, size):
     return torch.where(dis, -1e9, 0.0)[:, None]          # (N, 1, Q, HW)
 
 
-def _frame_decoder(params, ms_feats, mask_features):
+def _frame_decoder(params, ms_feats, mask_features, head="embedding"):
     """FrameMultiScaleMaskedTransformerDecoder (frame_...py:34-126): heads
     before layer 0 + after each layer, level round-robin i%3."""
     level_embed = _t(params["level_embed"])
@@ -306,7 +309,7 @@ def _frame_decoder(params, ms_feats, mask_features):
     mf = mask_features.permute(0, 2, 3, 1)               # NHWC
 
     all_embeds, all_masks = [], []
-    embeds, masks, _ = _heads(params, output, mf)
+    embeds, masks, _ = _heads(params, output, mf, head)
     all_embeds.append(embeds)
     all_masks.append(masks)
     bias = _attn_bias(masks, sizes[0])
@@ -324,7 +327,7 @@ def _frame_decoder(params, ms_feats, mask_features):
         fp = params[f"ffn{i}"]
         ff = _lin(F.relu(_lin(output, fp["linear1"])), fp["linear2"])
         output = _ln(output + ff, fp["norm"])
-        embeds, masks, dec_out = _heads(params, output, mf)
+        embeds, masks, dec_out = _heads(params, output, mf, head)
         all_embeds.append(embeds)
         all_masks.append(masks)
         bias = _attn_bias(masks, sizes[(i + 1) % 3])
