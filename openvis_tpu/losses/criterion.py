@@ -37,9 +37,12 @@ import jax.numpy as jnp
 from openvis_tpu.ops.hungarian import batched_hungarian
 from openvis_tpu.ops.select import kth_largest
 from openvis_tpu.ops.point_sample import (
+    _PALLAS_MAX_HW,
+    corner_pack_rows_t,
+    sample_maps_packed,
     sample_maps_shared,
     sample_maps_shared_t,
-    sort_points_by_y,
+    sorted_uniform_points,
 )
 from openvis_tpu.structures import ClipTargets
 
@@ -57,7 +60,24 @@ def target_rows_t(targets: ClipTargets, dtype=jnp.float32) -> jax.Array:
     b, n, t = targets.masks.shape[:3]
     th, tw = targets.masks.shape[-2:]
     flat = targets.masks.astype(dtype).reshape(b, n * t, th * tw)
-    return jnp.swapaxes(flat, 1, 2)
+    rows = jnp.swapaxes(flat, 1, 2)
+    if th * tw > _PALLAS_MAX_HW and jax.default_backend() == "tpu":
+        # full-res targets take the row-GATHER path, which is descriptor-
+        # bound on TPU: corner-pack the rows once (4x table, built once per
+        # step) so each sampled point costs ONE gather instead of four.
+        # Low-res targets route through the Pallas tent-matmul sampler and
+        # keep the plain layout.  _sample_targets dispatches on the width.
+        rows = corner_pack_rows_t(rows, th, tw)
+    return rows
+
+
+def _sample_targets(tgt_t, n_rows: int, th: int, tw: int, coords, f32p: bool):
+    """Sample target rows at shared points from EITHER target layout:
+    plain (B, TH*TW, R) rows, or the corner-packed (B, TH*TW, 4R) table
+    ``target_rows_t`` builds for the full-res gather path."""
+    if tgt_t.shape[-1] == 4 * n_rows:
+        return sample_maps_packed(tgt_t, th, tw, coords, f32_policy=f32p)
+    return sample_maps_shared_t(tgt_t, th, tw, coords, f32_policy=f32p)
 
 
 @dataclass(frozen=True)
@@ -102,10 +122,10 @@ def match_costs(
     # shared random points per batch item (matcher.py:110), y-SORTED so the
     # TPU tent-matmul sampler sees banded blocks (set semantics — every
     # reduction below is order-independent, and pred/target stay aligned
-    # because both sample the SAME sorted array)
-    coords = sort_points_by_y(
-        jax.random.uniform(rng, (b, p, 2), dtype=jnp.float32)
-    )
+    # because both sample the SAME sorted array).  Generated directly in
+    # sorted order (order statistics, no lax.sort — see
+    # ops/point_sample.sorted_uniform_points).
+    coords = sorted_uniform_points(rng, (b,), p)
 
     # sampling runs under the f32 grid_sample policy (torch autocast pins
     # grid_sample to fp32) unless criterion.bf16_masks opts into bf16
@@ -124,8 +144,8 @@ def match_costs(
     )
     if tgt_t is None:
         tgt_t = target_rows_t(targets, jnp.bfloat16)
-    tgt_pts = sample_maps_shared_t(
-        tgt_t, th, tw, coords, f32_policy=f32p
+    tgt_pts = _sample_targets(
+        tgt_t, n * t, th, tw, coords, f32p
     ).astype(jnp.float32)
     out_pts = out_pts.reshape(b, q, t * p)
     tgt_pts = tgt_pts.reshape(b, n, t * p)
@@ -290,43 +310,24 @@ def _loss_masks(
 
     def sample_tgt(c):
         return jax.lax.stop_gradient(
-            sample_maps_shared_t(tgt_t, th, tw, c, f32_policy=f32p)
+            _sample_targets(tgt_t, n * t, th, tw, c, f32p)
         )
 
     n_sampled = int(s.num_points * s.oversample_ratio)
     n_uncertain = int(s.importance_sample_ratio * s.num_points)
     n_random = s.num_points - n_uncertain
     k1, k2 = jax.random.split(rng)
-    # y-sorted point SETS (see match_costs).  The candidate and random
-    # draws stay two independent uniform draws (reference semantics) but
-    # are y-sorted as ONE union with an is-candidate marker carried through
-    # the sort — one sampler pass over S+R points instead of two (pallas
-    # call + full-res target gather each), with identical pointwise values
-    # and order-independent reductions below.
-    cand_raw = jax.random.uniform(k1, (b, n_sampled, 2), dtype=jnp.float32)
-    if n_random > 0:
-        rnd_raw = jax.random.uniform(
-            k2, (b, n_random, 2), dtype=jnp.float32
-        )
-        pts_raw = jnp.concatenate([cand_raw, rnd_raw], axis=1)
-        marker = jnp.broadcast_to(
-            jnp.concatenate([
-                jnp.ones((n_sampled,), jnp.float32),
-                jnp.zeros((n_random,), jnp.float32),
-            ]),
-            (b, n_sampled + n_random),
-        )
-        ys, xs, is_cand = jax.lax.sort(
-            (pts_raw[..., 1], pts_raw[..., 0], marker),
-            dimension=-1, num_keys=1,
-        )
-        cand = jnp.stack([xs, ys], axis=-1)          # (B, S+R, 2)
-    else:
-        cand = sort_points_by_y(cand_raw)
-        is_cand = jnp.ones((b, n_sampled), jnp.float32)
+    # y-sorted point SETS (see match_costs), generated directly in sorted
+    # order (order statistics — no lax.sort; the union sort of the previous
+    # formulation measured ~5 ms/layer).  The candidate and random draws
+    # stay two independent uniform pools (reference semantics,
+    # criterion.py:156-181); each is sampled in its own sorted pass — the
+    # random pool is small (num_points/4), so the second sampler call costs
+    # far less than sorting the 40k-point union did.
+    cand = sorted_uniform_points(k1, (b,), n_sampled)
     cand_logits = sample_maps_shared(rows, cand, f32_policy=f32p).astype(
         jnp.float32
-    )                                                            # (B, NT, S+R)
+    )                                                            # (B, NT, S)
     cand_labels = sample_tgt(cand).astype(jnp.float32)
     # per-row top-k most uncertain candidates (uncertainty = -|logit|),
     # selected WITHOUT reordering: top_k on the (stop-gradient) key alone
@@ -340,10 +341,7 @@ def _loss_masks(
     # pred_masks come from a bf16 forward (quantized values) — ties then
     # admit a few extra points beyond num_points; the mean divides by the
     # true selected count, so losses stay well-defined either way.
-    # random points are masked to -inf for the threshold: the k-th value is
-    # computed over CANDIDATES only, exactly as with separate pools
-    key_unc = jax.lax.stop_gradient(-jnp.abs(cand_logits))       # (B, NT, S+R)
-    key_unc = jnp.where(is_cand[:, None, :] > 0, key_unc, -jnp.inf)
+    key_unc = jax.lax.stop_gradient(-jnp.abs(cand_logits))       # (B, NT, S)
     if n_uncertain > 0:
         # exact k-th value via 32-pass bit descent (ops/select.py): same
         # threshold as lax.top_k's k-th output without sorting k payload
@@ -353,8 +351,6 @@ def _loss_masks(
     else:
         sel = jnp.zeros_like(key_unc)
     n_sel = sel.sum(-1)                                          # (B, NT)
-    # selected candidates AND every random point contribute (weight 1)
-    weight = sel + (1.0 - is_cand)[:, None, :]
 
     def losses_over(logits, labels, weight):
         ce = _softplus(logits) - logits * labels
@@ -366,7 +362,21 @@ def _loss_masks(
             (labels * weight).sum(-1),
         )
 
-    ce_s, num_s, sig_s, lab_s = losses_over(cand_logits, cand_labels, weight)
+    ce_s, num_s, sig_s, lab_s = losses_over(cand_logits, cand_labels, sel)
+    if n_random > 0:
+        rnd = sorted_uniform_points(k2, (b,), n_random)
+        rnd_logits = sample_maps_shared(rows, rnd, f32_policy=f32p).astype(
+            jnp.float32
+        )                                                        # (B, NT, R)
+        rnd_labels = sample_tgt(rnd).astype(jnp.float32)
+        one_w = jnp.ones((), jnp.float32)
+        ce_r, num_r, sig_r, lab_r = losses_over(
+            rnd_logits, rnd_labels, one_w
+        )
+        ce_s = ce_s + ce_r
+        num_s = num_s + num_r
+        sig_s = sig_s + sig_r
+        lab_s = lab_s + lab_r
     total_pts = n_sel + n_random                                 # (B, NT)
 
     # sigmoid CE (criterion.py:51-69): mean over the selected point set

@@ -26,7 +26,7 @@ from openvis_tpu.models.segmenter import Segmenter
 from openvis_tpu.utils.image import resize_bilinear_torch_hw
 from openvis_tpu.ops.point_sample import (
     sample_maps_shared,
-    sort_points_by_y,
+    sorted_uniform_points,
 )
 from openvis_tpu.structures import ClipTargets
 
@@ -93,7 +93,7 @@ def label_assign(
     n = targets.labels.shape[1]
     # rows share one y-sorted point set per item (set semantics — only
     # reductions below): the TPU tent-matmul sampler, see criterion
-    coords = sort_points_by_y(jax.random.uniform(rng, (b, num_points, 2)))
+    coords = sorted_uniform_points(rng, (b,), num_points)
     pm = pred_masks.reshape(b, qn * t, h, w)
     tm = targets.masks.astype(jnp.float32).reshape(b, n * t, *targets.masks.shape[-2:])
     out_pts = sample_maps_shared(pm, coords)

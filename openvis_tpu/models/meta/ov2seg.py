@@ -42,7 +42,7 @@ from openvis_tpu.models.segmenter import Segmenter
 from openvis_tpu.ops.hungarian import batched_hungarian
 from openvis_tpu.ops.point_sample import (
     sample_maps_shared,
-    sort_points_by_y,
+    sorted_uniform_points,
 )
 from openvis_tpu.structures import ClipTargets
 
@@ -127,9 +127,7 @@ def ov2seg_loss(
         # matching cost with the fused probability
         # shared y-sorted points per item -> tent-matmul sampler on TPU
         # (see criterion; matching is stop-gradient so no bwd cost)
-        coords = sort_points_by_y(
-            jax.random.uniform(keys[0], (b * t, s.num_points, 2))
-        )
+        coords = sorted_uniform_points(keys[0], (b * t,), s.num_points)
         pm = masks_l.reshape(b * t, q, h, w)
         tm = tg.masks.astype(jnp.float32).reshape(b * t, n, *tg.masks.shape[-2:])
         op = sample_maps_shared(pm, coords)

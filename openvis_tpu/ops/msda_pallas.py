@@ -904,9 +904,21 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
     nl = len(levels)
     v_refs = refs[:nl]
     da_ref, dy_ref, dx_ref = refs[nl], refs[nl + 1], refs[nl + 2]
-    tx_refs = refs[nl + 3 : nl + 3 + nl]
-    txp_refs = refs[nl + 3 + nl : nl + 3 + 2 * nl]
-    sval_ref, s_da, s_dy, s_dx = refs[nl + 3 + 2 * nl :]
+    # ONE (2*P*BQ, wp_l) scratch per level: tx stacked over txp, so the
+    # x-first walk issues a SINGLE MXU dot per row serving both D and Dp
+    # (halves dot issue vs separate tx/txp dots at identical FLOPs)
+    txx_refs = refs[nl + 3 : nl + 3 + nl]
+    rest = refs[nl + 3 + nl :]
+    # sval only exists when a PACKED level is present (its tent-lhs path
+    # accumulates there); unpacked x-first levels ride fori carries — the
+    # kernel sits at the scoped-VMEM cliff at train encoder shapes, so a
+    # dead (3P, BQ, ch) scratch (lane-padded, double-buffered) is ~3 MB
+    has_packed = any(pk > 1 for _, _, _, pk in levels)
+    if has_packed:
+        sval_ref, s_da, s_dy, s_dx = rest
+    else:
+        sval_ref = None
+        s_da, s_dy, s_dx = rest
 
     prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
@@ -914,9 +926,10 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
 
     ch = g.shape[-1]
     for lvl, (h, w, wp, pk) in enumerate(levels):
-        # per-level exact-width (P*BQ, wp_l) tent scratches: full-width
-        # writes/loads, no lane slicing (see _fused_levels_kernel)
-        tx_ref, txp_ref = tx_refs[lvl], txp_refs[lvl]
+        # per-level exact-width (2*P*BQ, wp_l) tent scratch — tx in the
+        # first P*BQ sublanes, txp in the rest: full-width writes/loads,
+        # no lane slicing (see _fused_levels_kernel)
+        txx_ref = txx_refs[lvl]
         jj = jax.lax.broadcasted_iota(
             jnp.int32, (bq, wp), 1
         ).astype(jnp.float32)
@@ -929,10 +942,10 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
         for pi in range(p):
             xq = x_ref[0, :, lvl * p + pi][:, None]       # (BQ, 1)
             dxx = xq - col
-            tx_ref[pi * bq : (pi + 1) * bq, :] = jnp.maximum(
+            txx_ref[pi * bq : (pi + 1) * bq, :] = jnp.maximum(
                 0.0, 1.0 - jnp.abs(dxx)
             ).astype(ct)
-            txp_ref[pi * bq : (pi + 1) * bq, :] = jnp.where(
+            txx_ref[(p + pi) * bq : (p + pi + 1) * bq, :] = jnp.where(
                 jnp.abs(dxx) < 1.0, -jnp.sign(dxx), 0.0
             ).astype(ct)
 
@@ -941,32 +954,30 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
 
         if pk == 1:
             # x-first walk (see docstring): per-point sample accumulators
-            # ride the fori carry (registers / compiler-managed spill)
-            txa = tx_ref[:]
-            txpa = txp_ref[:]
+            # ride the fori carry (registers / compiler-managed spill).
+            # y lane-extracts hoisted out of the row loop (loop-invariant).
+            txx = txx_ref[:]
+            yqs = [y_ref[0, :, lvl * p + pi] for pi in range(p)]
 
-            def body(rb, carry, lvl=lvl, txa=txa, txpa=txpa):
+            def body(rb, carry, lvl=lvl, txx=txx, yqs=yqs):
                 cs, cy, cx = (list(c) for c in carry)
                 vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct)
                 r0 = (rb * rr).astype(jnp.float32)
                 for ri in range(rr):
-                    d = jnp.dot(
-                        txa, vblk[ri], preferred_element_type=jnp.float32,
+                    # one dot serves D (rows :P*BQ) and Dp (rows P*BQ:)
+                    ddp = jnp.dot(
+                        txx, vblk[ri], preferred_element_type=jnp.float32,
                         precision=prec,
-                    )                                     # (P*BQ, ch)
-                    dpp = jnp.dot(
-                        txpa, vblk[ri], preferred_element_type=jnp.float32,
-                        precision=prec,
-                    )
+                    )                                     # (2*P*BQ, ch)
                     rf = r0 + ri
                     for pi in range(p):
-                        dyy = y_ref[0, :, lvl * p + pi] - rf
+                        dyy = yqs[pi] - rf
                         ty = jnp.maximum(0.0, 1.0 - jnp.abs(dyy))[:, None]
                         typ = jnp.where(
                             jnp.abs(dyy) < 1.0, -jnp.sign(dyy), 0.0
                         )[:, None]
-                        ds = d[pi * bq : (pi + 1) * bq]
-                        dps = dpp[pi * bq : (pi + 1) * bq]
+                        ds = ddp[pi * bq : (pi + 1) * bq]
+                        dps = ddp[(p + pi) * bq : (p + pi + 1) * bq]
                         cs[pi] = cs[pi] + ty * ds
                         cy[pi] = cy[pi] + typ * ds
                         cx[pi] = cx[pi] + ty * dps
@@ -987,15 +998,15 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
         sval_ref[:] = jnp.zeros_like(sval_ref)            # (3P, BQ, ch)
 
         def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff,
-                       tx_ref=tx_ref, txp_ref=txp_ref):
+                       txx_ref=txx_ref):
             vblk = v_refs[lvl][0, pl.ds(rb * rr, rr)].astype(ct).reshape(
                 rr * wp, -1
             )
             r0 = (rb * rr).astype(jnp.float32)
             for pi in range(p):
                 yq = y_ref[0, :, lvl * p + pi]
-                txi = tx_ref[pi * bq : (pi + 1) * bq, :]
-                txpi = txp_ref[pi * bq : (pi + 1) * bq, :]
+                txi = txx_ref[pi * bq : (pi + 1) * bq, :]
+                txpi = txx_ref[(p + pi) * bq : (p + pi + 1) * bq, :]
                 rows_s, rows_y, rows_x = [], [], []
                 for ri in range(rr):
                     dyy = (yq - (r0 + ri) * pk)[:, None] - roff
@@ -1038,9 +1049,14 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
                                              "interpret", "parts",
                                              "dcoord_pack"))
-def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
+def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
                     rr: int = 4, interpret: bool = False,
                     parts=("dvalue", "dcoord"), dcoord_pack: bool = False):
+    # bq=128 (fwd uses 256): the x-first dCoord kernel's per-program live
+    # set (stacked tent scratch, 3P fori-carried (BQ, ch) accumulators, the
+    # merged (2P*BQ, ch) dot output — all lane-padded) scales with BQ and
+    # sat at 18.2 MB of Mosaic stack vs the 16 MB scoped-VMEM limit at
+    # train encoder shapes; halving BQ doubles the (parallel) grid instead.
     """Fused MSDA backward: shared cross-level coordinate prep (one
     transpose + one pad for all levels, like the fwd), ONE fused dCoord
     launch for all levels, and per-level dValue launches off the shared
@@ -1123,14 +1139,16 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 256,
                 for _ in range(3)
             ],
             scratch_shapes=[
-                # per-level exact-width tents (tx then txp; see kernel)
-                pltpu.VMEM((p * bq, wp_l), ct)
+                # per-level exact-width tents (tx stacked over txp — ONE
+                # scratch so the x-first walk dots both in one MXU issue)
+                pltpu.VMEM((2 * p * bq, wp_l), ct)
                 for _, _, wp_l, _ in c_meta
-            ] + [
-                pltpu.VMEM((p * bq, wp_l), ct)
-                for _, _, wp_l, _ in c_meta
-            ] + [
-                pltpu.VMEM((3 * p, bq, ch), jnp.float32),     # sval
+            ] + (
+                # sval serves only PACKED levels (see kernel) — omit it
+                # otherwise: the kernel sits at the scoped-VMEM cliff
+                [pltpu.VMEM((3 * p, bq, ch), jnp.float32)]
+                if any(pk_ > 1 for _, _, _, pk_ in c_meta) else []
+            ) + [
                 pltpu.VMEM((nl * p, bq), jnp.float32),
                 pltpu.VMEM((nl * p, bq), jnp.float32),
                 pltpu.VMEM((nl * p, bq), jnp.float32),

@@ -246,3 +246,56 @@ def test_shared_t_f32_policy_bitwise_vs_f32_storage():
     ref = np.asarray(point_sample_shared_t(ft16.astype(jnp.float32), h, w,
                                            coords))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_corner_packed_sampling_bitwise_vs_gather_composition():
+    """corner_pack_rows_t + point_sample_shared_t4 (the full-res TPU target
+    path) must be BITWISE equal to the 4-gather composition, including every
+    boundary regime (floor coords of -1, last row/column, exact corners)."""
+    from openvis_tpu.ops.point_sample import (
+        corner_pack_rows_t,
+        point_sample_shared_t,
+        point_sample_shared_t4,
+    )
+
+    rng = np.random.RandomState(0)
+    b, h, w, r, p = 2, 19, 23, 6, 400
+    flat_t = jnp.asarray(rng.randn(b, h * w, r).astype(np.float32))
+    pts = rng.rand(b, p, 2).astype(np.float32)
+    # force boundary coverage: exact 0/1 corners and near-edge strips
+    pts[:, :4] = [[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0]]
+    pts[:, 4:40, 0] *= 0.03            # x floor -1 band
+    pts[:, 40:80, 1] *= 0.03           # y floor -1 band
+    pts[:, 80:120, 0] = 1.0 - 0.03 * pts[:, 80:120, 0]   # last column
+    pts[:, 120:160, 1] = 1.0 - 0.03 * pts[:, 120:160, 1]  # last row
+    pts = jnp.asarray(pts)
+
+    for f32p, dt in ((False, jnp.float32), (True, jnp.bfloat16)):
+        tbl = corner_pack_rows_t(flat_t.astype(dt), h, w)
+        got = jax.vmap(
+            lambda t, c: point_sample_shared_t4(t, h, w, c, f32_policy=f32p)
+        )(tbl, pts)
+        want = jax.vmap(
+            lambda t, c: point_sample_shared_t(t, h, w, c, f32_policy=f32p)
+        )(flat_t.astype(dt), pts)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_sorted_uniform_points_distribution():
+    """sorted_uniform_points must emit y ASCENDING with the exact joint law
+    of sorted iid uniforms: order-stat means E[y_(i)] = i/(P+1), uniform
+    pooled marginals, iid uniform x."""
+    from openvis_tpu.ops.point_sample import sorted_uniform_points
+
+    pts = np.asarray(sorted_uniform_points(jax.random.PRNGKey(0), (64,), 257))
+    xs, ys = pts[..., 0], pts[..., 1]
+    assert np.all(np.diff(ys, axis=-1) >= 0)
+    assert 0.0 < ys.min() and ys.max() < 1.0
+    # order-stat means across the batch: i/(P+1) +- CLT noise
+    want = np.arange(1, 258) / 258.0
+    np.testing.assert_allclose(ys.mean(0), want, atol=5 * 0.5 / np.sqrt(64))
+    # pooled marginals ~ U(0,1)
+    for arr in (xs.ravel(), ys.ravel()):
+        assert abs(arr.mean() - 0.5) < 0.01
+        for qtile in (0.1, 0.3, 0.7, 0.9):
+            assert abs((arr < qtile).mean() - qtile) < 0.015

@@ -391,12 +391,15 @@ def test_criterion_losses_match_torch():
 
     # --- torch point losses at OUR sampled points ---
     # replicate the shared-candidate draw + per-row uncertainty top-k
+    # (sorted-order-statistics generation; same helper = same point sets)
+    from openvis_tpu.ops.point_sample import sorted_uniform_points
+
     k1, k2 = jax.random.split(key)
     n_sampled = int(s.num_points * s.oversample_ratio)
     n_uncertain = int(s.importance_sample_ratio * s.num_points)
     n_random = s.num_points - n_uncertain
-    cand = np.asarray(jax.random.uniform(k1, (b, n_sampled, 2)))
-    rnd = np.asarray(jax.random.uniform(k2, (b, n_random, 2)))
+    cand = np.asarray(sorted_uniform_points(k1, (b,), n_sampled))
+    rnd = np.asarray(sorted_uniform_points(k2, (b,), n_random))
 
     def t_sample(maps, pts):
         # maps (R, T, H, W), pts (P, 2) xy in [0,1] -> (R, T*P)
@@ -534,7 +537,9 @@ def test_matcher_costs_and_assignment_match_torch():
                                   jnp.asarray(masks), targets, s))
 
     # identical shared points (replicates match_costs's internal draw)
-    coords = np.asarray(jax.random.uniform(key, (b, p, 2), dtype=jnp.float32))
+    from openvis_tpu.ops.point_sample import sorted_uniform_points
+
+    coords = np.asarray(sorted_uniform_points(key, (b,), p))
 
     def t_point_sample(maps, pts):
         # maps (R, T, H, W); pts (R, P, 2) in [0,1] xy -> (R, T*P)

@@ -116,13 +116,30 @@ def main():
 
     # --- full-res target gathers (row-gather composition)
     def tgt_sample(z, t, c):
+        # z folds into the coords (x1.0, exact) — folding into the table
+        # would re-materialize the full (B, TH*TW, N) array per chain link
         r = jax.vmap(lambda tt, cc: point_sample_shared_t(tt, TH, TW, cc))(
-            t * z, c
+            t, c * z
         )
         return jnp.sum(r)
 
     emit("gather_tgt_loss40768", _t(_chain(tgt_sample), tgt_t, pts_l))
     emit("gather_tgt_match12544", _t(_chain(tgt_sample), tgt_t, pts_m))
+
+    # --- corner-packed target gathers (ONE descriptor per point)
+    from openvis_tpu.ops.point_sample import (
+        corner_pack_rows_t, sample_maps_packed,
+    )
+
+    tgt_pk = corner_pack_rows_t(tgt_t, TH, TW)           # (B, TH*TW, 4N)
+    # z folds into the COORDS here (not the 4x table) so the chained calls
+    # re-gather without re-materializing a 0.5 GB table per link
+    emit("gather_tgt_packed_loss40768", _t(_chain(
+        lambda z, t, c: jnp.sum(sample_maps_packed(t, TH, TW, c * z))
+    ), tgt_pk, pts_l))
+    emit("gather_tgt_packed_match12544", _t(_chain(
+        lambda z, t, c: jnp.sum(sample_maps_packed(t, TH, TW, c * z))
+    ), tgt_pk, pts_m))
 
     # --- the per-layer point-pool sorts (3-array union sort + matcher sort)
     raw = jax.random.uniform(key, (B, pp_loss, 2), dtype=jnp.float32)
@@ -142,6 +159,14 @@ def main():
                                      * s.num_points))[0][..., -1]
         )
     ), cl[:, :, :ns].reshape(B * N // 2, 2, ns).reshape(B, N, ns)))
+
+    # --- the criterion's actual threshold op (32-pass bit descent)
+    from openvis_tpu.ops.select import kth_largest
+
+    emit("kth_largest9408_of_37632", _t(_chain(
+        lambda z, x: jnp.sum(kth_largest(
+            x * z, int(s.importance_sample_ratio * s.num_points)))
+    ), cl[:, :, :ns].reshape(B, N, ns)))
 
     # --- Hungarian
     emit("hungarian_2x40x100", _t(_chain(
