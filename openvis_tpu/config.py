@@ -107,6 +107,10 @@ class CriterionConfig:
     # sampling deviates from the reference AMP policy (sampled VALUES only;
     # losses over the sampled points are always f32)
     bf16_masks: bool = False
+    # corner-pack full-res target tables on the TPU gather path (one row
+    # gather per point instead of four) at 4x the table's HBM residency;
+    # disable on memory-tight configs (losses are bitwise identical)
+    packed_targets: bool = True
 
 
 @dataclass(frozen=True)

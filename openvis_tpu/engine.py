@@ -162,15 +162,19 @@ def apply_clip_ensemble(
     clip_logits: jax.Array,  # (T, Q, K+1) mask-crop CLIP logits (bg row last)
     valid: jax.Array,        # (T, Q)
     weight: float,
+    drop_last: bool = True,
 ) -> jax.Array:
     """SimpleBSL's open_vocabulary_ensemble (simplebsl.py:122-163):
     geometric mean ``scores^(1-w) * clip^w`` with softmax-then-frame-mean
     CLIP probs; queries never valid in any frame keep their scores
-    (map-back ones)."""
+    (map-back ones).  ``drop_last`` removes the BgClipAdapter no-object row
+    before the softmax (the reference slices ``[..., :-1]`` unconditionally,
+    ``simplebsl.py:136`` — pass False for a non-bg adapter so a real class
+    is not dropped)."""
     from openvis_tpu.models.clip_adapter import frame_average_scores
 
     clip_scores, qvalid = frame_average_scores(
-        clip_logits, valid, mode="softmax_then_mean", drop_last=True
+        clip_logits, valid, mode="softmax_then_mean", drop_last=drop_last
     )
     clip_scores = jnp.where(qvalid[:, None], clip_scores, 1.0)
     if weight <= 0:
@@ -178,13 +182,80 @@ def apply_clip_ensemble(
     return jnp.power(scores, 1.0 - weight) * jnp.power(clip_scores, weight)
 
 
-def make_openvis_score_fn(cfg: Config, clip_visual_apply):
+def build_clip_visual(cfg: Config):
+    """Frozen CLIP visual tower for the mask-crop scoring paths (OpenVIS
+    inference, SimpleBSL ensemble), dispatching on ``clip_adapter.name``
+    like the reference's ``build_clip_adapter``
+    (``openvis/modeling/clip_adapter/__init__.py:9-15``):
+
+      * "clip" / "bg_clip": plain ViT tower -> ``visual_apply(imgs)``;
+      * "adapted" / "bg_adapted": mask-prompted tower
+        (``third_parties/mask_adapted_clip/.../model.py:288-363``) ->
+        ``visual_apply(imgs, soft_masks_or_None)``.
+
+    Returns ``(visual_apply, adapted)``.  Weights come from the converted
+    msgpack at ``clip_adapter.weights``; a plain OpenAI conversion grafts
+    into the adapted tower with a zero ``mask_embedding`` — exactly the
+    reference's ``torch.zeros`` init (``model.py:325``)."""
+    from openvis_tpu.models.clip.model import (
+        CLIPVisionTransformer,
+        _MODEL_SHAPES,
+    )
+    from tools.convert_weights import load_msgpack
+
+    ca = cfg.model.clip_adapter
+    shape = _MODEL_SHAPES[ca.clip_model_name]
+    vtree = load_msgpack(ca.weights)["visual"]
+    if ca.name in ("adapted", "bg_adapted"):
+        from openvis_tpu.models.clip_mask_adapted import MaskAdaptedVisual
+
+        vis = MaskAdaptedVisual(
+            patch_size=shape["vision_patch"], width=shape["vision_width"],
+            layers=shape["vision_layers"], heads=shape["vision_heads"],
+            embed_dim=shape["embed_dim"], image_size=shape["image_size"],
+            mask_prompt_depth=cfg.model.clip_adapter.mask_prompt_depth,
+        )
+        if "mask_embedding" not in vtree:
+            g = shape["image_size"] // shape["vision_patch"]
+            vtree = dict(vtree, mask_embedding=np.zeros(
+                (ca.mask_prompt_depth, g * g, shape["vision_width"]),
+                np.float32,
+            ))
+        return (
+            lambda imgs, masks=None: vis.apply({"params": vtree}, imgs, masks),
+            True,
+        )
+    vis = CLIPVisionTransformer(
+        patch_size=shape["vision_patch"], width=shape["vision_width"],
+        layers=shape["vision_layers"], heads=shape["vision_heads"],
+        embed_dim=shape["embed_dim"], image_size=shape["image_size"],
+    )
+    return (lambda imgs: vis.apply({"params": vtree}, imgs)), False
+
+
+def make_openvis_score_fn(cfg: Config, clip_visual_apply, adapted=None):
     """Per-window CLIP crop classification on ALIGNED 1/4-res masks
-    (openvis.py:110-147 after post_processing)."""
+    (openvis.py:110-147 after post_processing).  ``adapted`` routes through
+    the mask-prompted tower (AdaptedClipAdapter,
+    ``mask_adapted_adapter.py:59-76``); None derives it from the config."""
     from openvis_tpu.models.clip_adapter import clip_crop_classify
+
+    ca = cfg.model.clip_adapter
+    if adapted is None:
+        adapted = ca.name in ("adapted", "bg_adapted")
 
     def fn(frames_raw, masks_q, text_feats):
         # frames_raw (W,H,Wd,3) 0-255; masks_q (W,Q,h,w) logits at 1/4
+        if adapted:
+            from openvis_tpu.models.clip_mask_adapted import (
+                adapted_clip_crop_classify,
+            )
+
+            return adapted_clip_crop_classify(
+                clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
+                text_feats, mask_prompt_fwd=ca.mask_prompt_fwd,
+                mask_stride=cfg.model.pixel_decoder.common_stride,
+            )
         return clip_crop_classify(
             clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
             text_feats, mask_stride=cfg.model.pixel_decoder.common_stride,

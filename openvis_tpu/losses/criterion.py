@@ -47,7 +47,9 @@ from openvis_tpu.ops.point_sample import (
 from openvis_tpu.structures import ClipTargets
 
 
-def target_rows_t(targets: ClipTargets, dtype=jnp.float32) -> jax.Array:
+def target_rows_t(
+    targets: ClipTargets, dtype=jnp.float32, pack: bool = False
+) -> jax.Array:
     """(B, TH*TW, N*T) pre-transposed target-mask rows for repeated shared
     point sampling — the (N*T, TH*TW) -> transpose is ~66 MB of traffic at
     full train resolution and the criterion samples targets once per decoder
@@ -56,19 +58,37 @@ def target_rows_t(targets: ClipTargets, dtype=jnp.float32) -> jax.Array:
     ``dtype`` is bf16 regardless of the sampling policy: 0/1 targets are
     EXACT in bf16 and the samplers' f32_policy path upcasts after the
     gather (bitwise equal to f32 storage), so the transpose + per-layer
-    gather traffic halves for free."""
+    gather traffic halves for free.
+
+    ``pack`` is an EXPLICIT caller decision (no hidden backend probe — an
+    implicit jax.default_backend() switch here once inverted the layouts
+    profile_criterion compared): True corner-packs the rows into a
+    (B, TH*TW, 4R) table so each sampled point on the full-res gather path
+    costs ONE row gather instead of four, at 4x the table's HBM residency.
+    Callers inside the criterion derive it via :func:`_pack_targets`."""
     b, n, t = targets.masks.shape[:3]
     th, tw = targets.masks.shape[-2:]
     flat = targets.masks.astype(dtype).reshape(b, n * t, th * tw)
     rows = jnp.swapaxes(flat, 1, 2)
-    if th * tw > _PALLAS_MAX_HW and jax.default_backend() == "tpu":
-        # full-res targets take the row-GATHER path, which is descriptor-
-        # bound on TPU: corner-pack the rows once (4x table, built once per
-        # step) so each sampled point costs ONE gather instead of four.
-        # Low-res targets route through the Pallas tent-matmul sampler and
-        # keep the plain layout.  _sample_targets dispatches on the width.
+    if pack and th * tw > _PALLAS_MAX_HW:
+        # only the row-GATHER path (full-res targets) benefits: low-res
+        # targets route through the Pallas tent-matmul sampler, which
+        # expects the plain layout.  _sample_targets dispatches on width.
         rows = corner_pack_rows_t(rows, th, tw)
     return rows
+
+
+def _pack_targets(s: "CriterionSettings", th: int, tw: int) -> bool:
+    """Packing policy for the criterion's own target tables: gated by the
+    settings flag (memory-tight runs can fall back to the 4-gather
+    composition — the packed table quadruples the full-res target rows'
+    HBM residency for a measured ~21% stage gain), and only worthwhile on
+    the TPU gather path."""
+    return (
+        s.packed_targets
+        and th * tw > _PALLAS_MAX_HW
+        and jax.default_backend() == "tpu"
+    )
 
 
 def _sample_targets(tgt_t, n_rows: int, th: int, tw: int, coords, f32p: bool):
@@ -99,6 +119,11 @@ class CriterionSettings:
     # lossless, so feeding set_criterion a bf16 stack changes nothing but
     # the HBM traffic of the layer scan).
     bf16_sampling: bool = False
+    # Corner-pack full-res target tables on the TPU gather path (ONE row
+    # gather per sampled point instead of four, ~21% on the gather stages)
+    # at 4x the table's HBM residency.  Default on; memory-tight configs
+    # can disable (criterion.packed_targets) to fall back to 4 gathers.
+    packed_targets: bool = True
 
 
 def _softplus(x):
@@ -143,7 +168,7 @@ def match_costs(
         jnp.float32
     )
     if tgt_t is None:
-        tgt_t = target_rows_t(targets, jnp.bfloat16)
+        tgt_t = target_rows_t(targets, jnp.bfloat16, pack=_pack_targets(s, th, tw))
     tgt_pts = _sample_targets(
         tgt_t, n * t, th, tw, coords, f32p
     ).astype(jnp.float32)
@@ -304,7 +329,7 @@ def _loss_masks(
     rows = src.reshape(b, n * t, h, w)  # sampled in the masks' own dtype
     th, tw = targets.masks.shape[-2:]
     if tgt_t is None:
-        tgt_t = target_rows_t(targets, jnp.bfloat16)
+        tgt_t = target_rows_t(targets, jnp.bfloat16, pack=_pack_targets(s, th, tw))
     row_w = jnp.broadcast_to(targets.valid[:, :, None], (b, n, t)).reshape(-1)
     row_w = row_w.astype(jnp.float32)
 
@@ -426,7 +451,8 @@ def set_criterion(
 
     # hoisted: one transpose for all layers, bf16 rows under either policy
     # (binary targets are bf16-exact; see target_rows_t)
-    tgt_t = target_rows_t(targets, jnp.bfloat16)
+    th, tw = targets.masks.shape[-2:]
+    tgt_t = target_rows_t(targets, jnp.bfloat16, pack=_pack_targets(s, th, tw))
 
     # lax.scan over the layer axis: one traced (match + loss) instance
     # instead of L unrolled copies.  Round-3 scheduling experiments (v5e,

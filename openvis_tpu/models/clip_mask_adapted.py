@@ -100,34 +100,37 @@ class MaskAdaptedVisual(nn.Module):
 
 
 def adapted_clip_crop_classify(
-    visual_apply,          # fn(imgs (R,S,S,3), masks (R,S,S)) -> (R, D)
+    visual_apply,          # fn(imgs (R,S,S,3), masks (R,S,S)|None) -> (R, D)
     frames_raw: jax.Array, # (T, H, W, 3) in [0,255]
     masks: jax.Array,      # (T, Q, H, W) sigmoid
     text_feats: jax.Array, # (K, D)
     input_resolution: int = 224,
     temperature: float = 100.0,
     mask_prompt_fwd: bool = True,
+    mask_stride: int = 1,  # masks may live on a coarser grid (see
+                           # clip_adapter.clip_crop_classify)
 ) -> Tuple[jax.Array, jax.Array]:
-    """AdaptedClipAdapter.forward (mask_adapted_adapter.py:35-151): same
-    square-crop pipeline as the plain adapter, but the mask is forwarded as
-    a prompt (no pixel blending) when ``mask_prompt_fwd``."""
+    """AdaptedClipAdapter.forward (mask_adapted_adapter.py:59-121): the same
+    square-crop + mask-blend pipeline as the plain adapter (the reference
+    blends unconditionally, ``_preprocess_image`` :117-121), and when
+    ``mask_prompt_fwd`` the SOFT mask crop is additionally forwarded to the
+    mask-prompted tower (``forward`` :68-71; the tower ceils its patch
+    pooling, ``model.py:330-334``, so any covered pixel marks the patch)."""
     t, q, h, w = masks.shape
     r = t * q
     flat_masks = masks.reshape(r, h, w)
     boxes, valid = mask_square_boxes(flat_masks)
     frame_ids = jnp.repeat(jnp.arange(t), q)
-    crops = roi_crop(frames_raw[frame_ids], boxes, input_resolution)
+    crops = roi_crop(
+        frames_raw[frame_ids], boxes * mask_stride, input_resolution
+    )
     mask_crops = roi_crop(flat_masks[..., None], boxes, input_resolution)[..., 0]
 
     mean = jnp.asarray(CLIP_PIXEL_MEAN, crops.dtype)
     std = jnp.asarray(CLIP_PIXEL_STD, crops.dtype)
-    if mask_prompt_fwd:
-        clip_in = (crops / 255.0 - mean) / std
-        feats = visual_apply(clip_in, mask_crops > 0.5)
-    else:
-        blended = crops * mask_crops[..., None]
-        clip_in = (blended / 255.0 - mean) / std
-        feats = visual_apply(clip_in, None)
+    blended = crops * mask_crops[..., None]
+    clip_in = (blended / 255.0 - mean) / std
+    feats = visual_apply(clip_in, mask_crops if mask_prompt_fwd else None)
     feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6)
     logits = temperature * feats @ text_feats.T
     return logits.reshape(t, q, -1), valid.reshape(t, q)

@@ -246,6 +246,7 @@ def brivis_loss(
         oversample_ratio=c.oversample_ratio,
         importance_sample_ratio=c.importance_sample_ratio,
         bf16_sampling=c.bf16_masks,
+        packed_targets=c.packed_targets,
         deep_supervision=c.deep_supervision,
     )
     # resampler layer logits: (first + last frame)/2 (brivis.py:217)

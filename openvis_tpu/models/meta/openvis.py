@@ -65,6 +65,7 @@ def openvis_loss(
         oversample_ratio=c.oversample_ratio,
         importance_sample_ratio=c.importance_sample_ratio,
         bf16_sampling=c.bf16_masks,
+        packed_targets=c.packed_targets,
         deep_supervision=c.deep_supervision,
     )
     targets = ClipTargets(

@@ -104,6 +104,7 @@ def ov2seg_loss(
         oversample_ratio=c.oversample_ratio,
         importance_sample_ratio=c.importance_sample_ratio,
         bf16_sampling=c.bf16_masks,
+        packed_targets=c.packed_targets,
     )
     # frame reshape: every frame a sample
     la = outputs["pred_logits_all"]
