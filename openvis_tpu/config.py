@@ -220,6 +220,7 @@ class InputConfig:
     crop_size: Tuple[int, int] = (600, 720)
     format: str = "RGB"
     sampling_frame_num: int = 2
+    sampling_frame_ratio: float = 1.0  # <1: single-frame video subsampling
     sampling_frame_range: int = 20
     sampling_frame_shuffle: bool = False
     sampling_frame_reverse: bool = False

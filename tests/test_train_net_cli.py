@@ -157,6 +157,69 @@ def test_train_then_eval_cli(cli_root, monkeypatch):
     )
 
 
+def test_eval_only_adapted_clip_ensemble_cli(cli_root, monkeypatch, tmp_path):
+    """CLI accepts clip_adapter.name=bg_adapted (VERDICT r3 #1): --eval-only
+    builds the mask-prompted tower from the converted msgpack and runs the
+    SimpleBSL CLIP ensemble through the real engine path."""
+    root, cfg_path = cli_root
+    import train_net
+
+    monkeypatch.setattr(train_net, "build_text_bank", lambda cfg: _FakeBank())
+
+    import jax
+    import jax.numpy as jnp
+
+    from openvis_tpu.config import load_config
+    from openvis_tpu.models.clip.model import (
+        CLIPVisionTransformer,
+        _MODEL_SHAPES,
+    )
+    from openvis_tpu.train import init_model
+    from tools.convert_weights import save_msgpack
+
+    s = _MODEL_SHAPES["test-tiny"]
+    vis = CLIPVisionTransformer(
+        patch_size=s["vision_patch"], width=s["vision_width"],
+        layers=s["vision_layers"], heads=s["vision_heads"],
+        embed_dim=s["embed_dim"], image_size=s["image_size"],
+    )
+    vparams = vis.init(
+        jax.random.PRNGKey(5),
+        jnp.zeros((1, s["image_size"], s["image_size"], 3)),
+    )["params"]
+    clip_path = str(tmp_path / "clip_tiny.msgpack")
+    save_msgpack({"visual": jax.tree.map(np.asarray, vparams)}, clip_path)
+
+    overrides = [
+        "model.clip_adapter.name=bg_adapted",
+        "model.clip_adapter.clip_model_name=test-tiny",
+        f"model.clip_adapter.weights={clip_path}",
+        "model.clip_adapter.clip_ensemble=true",
+        "model.clip_adapter.mask_prompt_depth=2",
+    ]
+    cfg = load_config(cfg_path, overrides)
+    sample = {
+        "pixels": jnp.zeros(
+            (1, cfg.input.sampling_frame_num, *cfg.input.pad_size, 3),
+            jnp.float32,
+        ),
+        "text_feats": jnp.asarray(_FakeBank().encode(["a", "b"])),
+    }
+    _, params = init_model(cfg, jax.random.PRNGKey(7), sample)
+    wpath = str(tmp_path / "weights.msgpack")
+    save_msgpack(jax.tree.map(lambda x: np.asarray(x), params), wpath)
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["train_net.py", "--config-file", cfg_path, "--eval-only",
+         "--weights", wpath] + overrides,
+    )
+    train_net.main()
+    assert os.path.exists(
+        os.path.join(root, "out", "metrics_synth_cli_eval.json")
+    )
+
+
 def test_eval_only_msgpack_weights(cli_root, monkeypatch, tmp_path):
     """--eval-only --weights <file.msgpack> evaluates converted (zero-shot)
     weights — round 2 silently evaluated RANDOM params because only the

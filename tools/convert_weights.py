@@ -123,6 +123,10 @@ def convert_swin(d: Dict[str, np.ndarray], size: str = "base") -> Dict:
         "patch_embed": _conv(d, "backbone.patch_embed.proj"),
         "patch_norm": _norm(d, "backbone.patch_embed.norm"),
     }
+    if "backbone.absolute_pos_embed" in d:  # APE checkpoints (swin.py:557)
+        out["absolute_pos_embed"] = np.ascontiguousarray(
+            d["backbone.absolute_pos_embed"].transpose(0, 2, 3, 1)
+        )
     for si, nb in enumerate(depths):
         for bi in range(nb):
             pre = f"backbone.layers.{si}.blocks.{bi}"
@@ -344,6 +348,12 @@ def convert_clip(state: Dict[str, np.ndarray]) -> Dict:
         "ln_post": _ln_f32(d, "visual.ln_post"),
         "proj": d["visual.proj"],
     }
+    # mask-adapted CLIP checkpoints (ov-seg finetunes the reference vendors
+    # under third_parties/mask_adapted_clip, model.py:325) carry a learned
+    # per-depth mask prompt table; plain OpenAI dicts lack it and the
+    # adapted tower zero-inits (the reference's torch.zeros init)
+    if "visual.mask_embedding" in d:
+        visual["mask_embedding"] = d["visual.mask_embedding"]
     for i in range(n_vis):
         visual[f"resblock{i}"] = _clip_block(d, f"visual.transformer.resblocks.{i}")
     text = {

@@ -238,20 +238,12 @@ def main():
                 "or disable model.clip_adapter.clip_ensemble"
             )
         if needs_clip_visual:
-            from openvis_tpu.models.clip.model import (
-                CLIPVisionTransformer,
-                _MODEL_SHAPES,
-            )
-            from tools.convert_weights import load_msgpack
+            # dispatches on clip_adapter.name: plain ViT tower, or the
+            # mask-prompted tower for "adapted"/"bg_adapted" (reference
+            # build_clip_adapter, modeling/clip_adapter/__init__.py:9-15)
+            from openvis_tpu.engine import build_clip_visual
 
-            shape = _MODEL_SHAPES[cfg.model.clip_adapter.clip_model_name]
-            vis = CLIPVisionTransformer(
-                patch_size=shape["vision_patch"], width=shape["vision_width"],
-                layers=shape["vision_layers"], heads=shape["vision_heads"],
-                embed_dim=shape["embed_dim"], image_size=shape["image_size"],
-            )
-            vtree = load_msgpack(cfg.model.clip_adapter.weights)["visual"]
-            clip_visual_apply = lambda imgs: vis.apply({"params": vtree}, imgs)
+            clip_visual_apply, _ = build_clip_visual(cfg)
 
         all_expected_ok = True
         for ds in cfg.datasets.test:
