@@ -5,17 +5,29 @@ Rebuild of the reference's BURST chain (``openvis/data/evals/burst_eval.py:
 ``BURSTSingle`` dataset): predictions are per-video tracks of per-frame
 masks; metrics are
 
-  * **HOTA** (TrackEval's hota.py algorithm): per class, per alpha in
-    {0.05..0.95}, frame-level Hungarian matching on
-    ``global_alignment_score * 1000 + iou`` with matches kept when
-    ``iou >= alpha``; DetA = TP/(TP+FN+FP), AssA = mean over TPs of
-    TPA/(TPA+FNA+FPA), HOTA = mean_alpha sqrt(DetA * AssA);
+  * **HOTA** (TrackEval ``hota.py`` EXACT semantics): per class, each video
+    is a sequence — per frame, ONE Hungarian matching on
+    ``global_alignment_score * similarity``, then per alpha in {0.05..0.95}
+    matches are kept when ``similarity >= alpha - eps``.  The global
+    alignment score is the Jaccard of per-frame Jaccard-normalized
+    similarities: ``pot += s / (s.sum(0) + s.sum(1) - s)``, ``glob =
+    pot / (gt_count + dt_count - pot)``.  DetA = TP/(TP+FN+FP), AssA =
+    sum over matched pairs of ``m * m/(gtc+dtc-m)`` / TP (sequences combine
+    by summing counters — TrackEval ``combine_sequences`` weighted-average
+    form), HOTA = mean_alpha sqrt(DetA * AssA);
   * **TrackMAP**: track-level AP with spatio-temporal IoU — shared with the
     YTVIS evaluator's COCO-protocol machinery.
 
-Class splits (all/common/uncommon) follow the reference's category tables;
-the vendored tables ship the common/uncommon lists empty
-(``burst.py:510-517``), so those splits mirror "all" unless populated.
+Per-frame mask IoU matrices run through the native C kernel
+(``native/rle_ops.c:rle_iou_matrix``, one call per (video, frame)) with a
+pure-Python fallback; one ``linear_sum_assignment`` per (video, frame) —
+NOT per alpha — so real-scale BURST (hundreds of videos x hundreds of
+frames x 19 alphas) stays minutes of host time.
+
+Class splits (all/common/uncommon) follow the reference's category tables
+(``burst.py:510-517``); this repo's catalogs populate common=64 /
+uncommon=418 LVIS ids (the reference ships the lists empty, in which case
+those splits would mirror "all").
 """
 
 from __future__ import annotations
@@ -28,17 +40,49 @@ from scipy.optimize import linear_sum_assignment
 
 from openvis_tpu.data import rle as rle_util
 from openvis_tpu.evals.ytvis_eval import YTVOSEval
+from openvis_tpu.native import native_iou_matrix
 
 ALPHAS = np.arange(0.05, 0.99, 0.05)
+_EPS = float(np.finfo("float").eps)
 
 
-def _frame_iou(d, g) -> float:
-    if d is None and g is None:
-        return 0.0
-    if d is None or g is None:
-        return 0.0
-    i, u = rle_util.rle_intersection_union(d, g)
-    return i / u if u else 0.0
+def _decode_flat(counts: np.ndarray) -> np.ndarray:
+    """RLE counts -> flat bool mask (runs alternate 0/1 starting with 0)."""
+    vals = np.zeros(len(counts), bool)
+    vals[1::2] = True
+    return np.repeat(vals, counts)
+
+
+def _iou_matrix(counts_a: List[np.ndarray], counts_b: List[np.ndarray]) -> np.ndarray:
+    """(na, nb) pairwise RLE IoU — native C kernel, numpy decode fallback."""
+    out = native_iou_matrix(counts_a, counts_b)
+    if out is not None:
+        return out
+    flat_a = [_decode_flat(c) for c in counts_a]
+    flat_b = [_decode_flat(c) for c in counts_b]
+    out = np.zeros((len(counts_a), len(counts_b)))
+    for i, ma in enumerate(flat_a):
+        for j, mb in enumerate(flat_b):
+            inter = np.logical_and(ma, mb).sum()
+            uni = np.logical_or(ma, mb).sum()
+            out[i, j] = inter / uni if uni else 0.0
+    return out
+
+
+def _track_counts(tracks: List[Dict], t: int):
+    """-> (present (N, T) bool, counts[n][f] int64 RLE-count arrays)."""
+    n = len(tracks)
+    present = np.zeros((n, t), bool)
+    counts = [[None] * t for _ in range(n)]
+    for i, tr in enumerate(tracks):
+        segs = tr["segmentations"]
+        for f in range(min(t, len(segs))):
+            if segs[f] is not None:
+                present[i, f] = True
+                counts[i][f] = np.asarray(
+                    rle_util._counts_list(segs[f]), np.int64
+                )
+    return present, counts
 
 
 def hota_for_class(
@@ -46,116 +90,81 @@ def hota_for_class(
     dt_tracks: Dict[int, List[Dict]],
 ) -> Dict[str, float]:
     """gt_tracks/dt_tracks: video_id -> list of {segmentations: [rle|None]}.
-    Returns HOTA / DetA / AssA for one class."""
+    Returns HOTA / DetA / AssA for one class (TrackEval hota.py semantics;
+    videos are sequences, combined by summing TP/FN/FP and the
+    TP-weighted AssA numerator)."""
     n_a = len(ALPHAS)
     tp = np.zeros(n_a)
     fn = np.zeros(n_a)
     fp = np.zeros(n_a)
-    # per-alpha accumulators for association: match counts per (gt, dt) pair
-    ass_num = [defaultdict(float) for _ in range(n_a)]  # matches per pair
-    gt_counts = defaultdict(int)   # (vid, gidx) -> #frames present
-    dt_counts = defaultdict(int)
+    ass_sum = np.zeros(n_a)  # sum over pairs of m * m/(gtc+dtc-m)
 
-    per_video = {}
-    vids = sorted(set(gt_tracks) | set(dt_tracks))
-    for vid in vids:
+    for vid in sorted(set(gt_tracks) | set(dt_tracks)):
         gts = gt_tracks.get(vid, [])
         dts = dt_tracks.get(vid, [])
-        t = 0
-        for tr in gts + dts:
-            t = max(t, len(tr["segmentations"]))
-        sims = []  # per frame (n_gt, n_dt) iou
-        for f in range(t):
-            s = np.zeros((len(gts), len(dts)))
-            for gi, g in enumerate(gts):
-                gs = g["segmentations"][f] if f < len(g["segmentations"]) else None
-                if gs is not None:
-                    gt_counts[(vid, gi)] += 1
-                for di, d in enumerate(dts):
-                    ds = d["segmentations"][f] if f < len(d["segmentations"]) else None
-                    if gi == 0 and ds is not None:
-                        dt_counts[(vid, di)] += 1
-                    if gs is not None and ds is not None:
-                        s[gi, di] = _frame_iou(ds, gs)
-            # count dt presence even when there are no gts
-            if not gts:
-                for di, d in enumerate(dts):
-                    if f < len(d["segmentations"]) and d["segmentations"][f] is not None:
-                        dt_counts[(vid, di)] += 1
-            sims.append(s)
-        per_video[vid] = sims
+        t = max((len(tr["segmentations"]) for tr in gts + dts), default=0)
+        present_g, counts_g = _track_counts(gts, t)
+        present_d, counts_d = _track_counts(dts, t)
+        n_g, n_d = len(gts), len(dts)
 
-    # global alignment score: potential matches accumulated over frames
-    glob = {}
-    for vid, sims in per_video.items():
-        n_g = sims[0].shape[0] if sims else 0
-        n_d = sims[0].shape[1] if sims else 0
+        # pass 1: per-frame similarity + Jaccard-normalized potential
+        # (TrackEval hota.py:40-58)
+        sims = {}
         pot = np.zeros((n_g, n_d))
-        for s in sims:
-            pot += (s > 0).astype(float) * s
-        denom = np.zeros((n_g, n_d))
-        for gi in range(n_g):
-            for di in range(n_d):
-                denom[gi, di] = (
-                    gt_counts[(vid, gi)] + dt_counts[(vid, di)] - pot[gi, di]
-                )
-        glob[vid] = np.divide(
-            pot, np.maximum(denom, 1e-9), out=np.zeros_like(pot),
-            where=denom > 0,
-        )
+        for f in range(t):
+            gi = np.flatnonzero(present_g[:, f])
+            di = np.flatnonzero(present_d[:, f])
+            if len(gi) and len(di):
+                s = _iou_matrix([counts_g[i][f] for i in gi],
+                                [counts_d[j][f] for j in di])
+                sims[f] = (gi, di, s)
+                denom = s.sum(0)[None, :] + s.sum(1)[:, None] - s
+                sim_iou = np.zeros_like(s)
+                m = denom > _EPS
+                sim_iou[m] = s[m] / denom[m]
+                pot[np.ix_(gi, di)] += sim_iou
+        gt_cnt = present_g.sum(1).astype(float)
+        dt_cnt = present_d.sum(1).astype(float)
+        pair_cnt = gt_cnt[:, None] + dt_cnt[None, :]
+        glob = pot / np.maximum(pair_cnt - pot, _EPS)
 
-    for ai, alpha in enumerate(ALPHAS):
-        for vid, sims in per_video.items():
-            g_sc = glob[vid]
-            for f, s in enumerate(sims):
-                n_g, n_d = s.shape
-                gt_here = [gi for gi in range(n_g) if _present(gt_tracks[vid][gi], f)]
-                dt_here = [di for di in range(n_d) if _present(dt_tracks[vid][di], f)]
-                if gt_here and dt_here:
-                    score = (
-                        g_sc[np.ix_(gt_here, dt_here)] * 1000.0
-                        + s[np.ix_(gt_here, dt_here)]
-                    )
-                    ri, ci = linear_sum_assignment(-score)
-                    matched_g = set()
-                    matched_d = set()
-                    for r, c in zip(ri, ci):
-                        gi, di = gt_here[r], dt_here[c]
-                        if s[gi, di] >= alpha - 1e-9 and s[gi, di] > 0:
-                            tp[ai] += 1
-                            ass_num[ai][(vid, gi, di)] += 1
-                            matched_g.add(gi)
-                            matched_d.add(di)
-                    fn[ai] += len(gt_here) - len(matched_g)
-                    fp[ai] += len(dt_here) - len(matched_d)
-                else:
-                    fn[ai] += len(gt_here)
-                    fp[ai] += len(dt_here)
+        # pass 2: ONE matching per frame on glob * sim, per-alpha keep by
+        # similarity threshold (TrackEval hota.py:60-92)
+        matches = np.zeros((n_a, n_g, n_d))
+        for f in range(t):
+            gi = np.flatnonzero(present_g[:, f])
+            di = np.flatnonzero(present_d[:, f])
+            if len(gi) == 0:
+                fp += len(di)
+                continue
+            if len(di) == 0:
+                fn += len(gi)
+                continue
+            gi, di, s = sims[f]
+            score = glob[np.ix_(gi, di)] * s
+            r, c = linear_sum_assignment(-score)
+            msim = s[r, c]
+            keep = msim[None, :] >= ALPHAS[:, None] - _EPS  # (n_a, n_match)
+            nm = keep.sum(1)
+            tp += nm
+            fn += len(gi) - nm
+            fp += len(di) - nm
+            for ai in np.flatnonzero(nm):
+                sel = keep[ai]
+                matches[ai, gi[r[sel]], di[c[sel]]] += 1.0
 
-    det_a = np.zeros(n_a)
-    ass_a = np.zeros(n_a)
-    hota = np.zeros(n_a)
-    for ai in range(n_a):
-        denom = tp[ai] + fn[ai] + fp[ai]
-        det_a[ai] = tp[ai] / denom if denom else 0.0
-        if tp[ai]:
-            acc = 0.0
-            for (vid, gi, di), tpa in ass_num[ai].items():
-                fna = gt_counts[(vid, gi)] - tpa
-                fpa = dt_counts[(vid, di)] - tpa
-                acc += tpa * (tpa / (tpa + fna + fpa))
-            ass_a[ai] = acc / tp[ai]
-        hota[ai] = np.sqrt(det_a[ai] * ass_a[ai])
+        # association numerator for this sequence (hota.py:95-101)
+        den = np.maximum(pair_cnt[None] - matches, _EPS)
+        ass_sum += (matches * (matches / den)).sum(axis=(1, 2))
+
+    det_a = tp / np.maximum(1.0, tp + fn + fp)
+    ass_a = ass_sum / np.maximum(1.0, tp)
+    hota = np.sqrt(det_a * ass_a)
     return {
         "HOTA": float(hota.mean()),
         "DetA": float(det_a.mean()),
         "AssA": float(ass_a.mean()),
     }
-
-
-def _present(track, f):
-    segs = track["segmentations"]
-    return f < len(segs) and segs[f] is not None
 
 
 class BURSTEvaluator:

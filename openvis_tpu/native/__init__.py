@@ -82,6 +82,43 @@ def native_intersection_union(
     return int(inter.value), int(uni.value)
 
 
+def native_iou_matrix(
+    counts_a: "list[np.ndarray]", counts_b: "list[np.ndarray]",
+    iscrowd_b: Optional[np.ndarray] = None,
+) -> Optional[np.ndarray]:
+    """Pairwise IoU between two lists of RLE count arrays -> (na, nb) f64.
+    ``iscrowd_b``: optional bool per b-entry (crowd: union = area(a))."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    na, nb = len(counts_a), len(counts_b)
+    out = np.zeros((na, nb), np.float64)
+    if na == 0 or nb == 0:
+        return out
+    off_a = np.zeros(na + 1, np.int64)
+    off_b = np.zeros(nb + 1, np.int64)
+    off_a[1:] = np.cumsum([len(c) for c in counts_a])
+    off_b[1:] = np.cumsum([len(c) for c in counts_b])
+    flat_a = np.ascontiguousarray(
+        np.concatenate([np.asarray(c, np.int64) for c in counts_a])
+        if off_a[-1] else np.zeros(0, np.int64))
+    flat_b = np.ascontiguousarray(
+        np.concatenate([np.asarray(c, np.int64) for c in counts_b])
+        if off_b[-1] else np.zeros(0, np.int64))
+    crowd = (
+        np.ascontiguousarray(iscrowd_b, np.uint8)
+        if iscrowd_b is not None
+        else np.zeros(nb, np.uint8)
+    )
+    lib.rle_iou_matrix(
+        _as_long(flat_a), _as_long(off_a), na,
+        _as_long(flat_b), _as_long(off_b), nb,
+        crowd.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
+
+
 def native_encode(mask: np.ndarray) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
