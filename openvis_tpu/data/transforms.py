@@ -88,6 +88,53 @@ def color_jitter(
     return img
 
 
+def resize_scale_clip_size(
+    rng: np.random.RandomState, h: int, w: int,
+    min_scale: float, max_scale: float, target_h: int, target_w: int,
+) -> Tuple[int, int]:
+    """``ResizeScaleClip`` (augmentation.py:127-182): ONE clip-level scale
+    draw in [min_scale, max_scale]; the image is scaled to fit inside the
+    scaled target box, aspect ratio kept (the TF 'resize_and_crop' resize
+    half).  Returns the output (H', W') — np.round like the reference."""
+    s = rng.uniform(min_scale, max_scale)
+    out_scale = min(target_h * s / h, target_w * s / w)
+    nh, nw = np.round(np.multiply((h, w), out_scale)).astype(int)
+    return int(nh), int(nw)
+
+
+def fixed_size_crop_clip(
+    rng: np.random.RandomState,
+    frames: List[np.ndarray],
+    masks_per_frame: Optional[List[List[np.ndarray]]],
+    crop_hw: Tuple[int, int],
+    pad_value: float = 128.0,
+):
+    """``FixedSizeCropClip`` (augmentation.py:258-313): ONE offset draw per
+    clip — a SINGLE scalar uniform multiplies both max offsets (the
+    reference's ``np.multiply(max_offset, np.random.uniform(0.0, 1.0))``) —
+    crop when the input is larger, pad bottom/right to ``crop_hw`` when
+    smaller (frames with ``pad_value``, masks with 0)."""
+    ch, cw = crop_hw
+    h, w = frames[0].shape[:2]
+    max_off = np.maximum(np.subtract((h, w), (ch, cw)), 0)
+    off = np.round(max_off * rng.uniform(0.0, 1.0)).astype(int)
+    y0, x0 = int(off[0]), int(off[1])
+
+    def one(img: np.ndarray, pad: float) -> np.ndarray:
+        img = img[y0 : y0 + ch, x0 : x0 + cw]
+        ph, pw = ch - img.shape[0], cw - img.shape[1]
+        if ph > 0 or pw > 0:
+            pad_width = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+            img = np.pad(img, pad_width, constant_values=pad)
+        return img
+
+    out_frames = [one(f, pad_value).astype(np.uint8) for f in frames]
+    out_masks = None
+    if masks_per_frame is not None:
+        out_masks = [[one(m, 0) for m in ms] for ms in masks_per_frame]
+    return out_frames, out_masks
+
+
 class ClipAugmenter:
     """Samples one set of random draws per clip and applies them to every
     frame (+ masks), in the reference's composition order

@@ -210,6 +210,43 @@ def test_crop_augmentation():
     assert size_nc == (48, 72)
 
 
+def test_resize_scale_clip_and_fixed_size_crop():
+    """ResizeScaleClip + FixedSizeCropClip (augmentation.py:127-182,
+    :258-313): one clip-level draw; resize fits inside the scaled target
+    box; crop when larger, pad bottom/right when smaller."""
+    from openvis_tpu.data.transforms import (
+        fixed_size_crop_clip,
+        resize_scale_clip_size,
+    )
+
+    # deterministic scale: min == max
+    rng = np.random.RandomState(0)
+    nh, nw = resize_scale_clip_size(rng, 60, 90, 1.0, 1.0, 30, 30)
+    # output_scale = min(30/60, 30/90) = 1/3 -> (20, 30)
+    assert (nh, nw) == (20, 30)
+    nh2, nw2 = resize_scale_clip_size(rng, 60, 90, 2.0, 2.0, 30, 30)
+    assert (nh2, nw2) == (40, 60)
+
+    # crop: input larger than target -> all frames share ONE offset
+    rng = np.random.RandomState(1)
+    frames = [np.arange(40 * 50 * 3, dtype=np.uint8).reshape(40, 50, 3)
+              for _ in range(3)]
+    masks = [[np.ones((40, 50), np.uint8)] for _ in range(3)]
+    of, om = fixed_size_crop_clip(rng, frames, masks, (24, 24))
+    assert all(f.shape == (24, 24, 3) for f in of)
+    assert om[0][0].shape == (24, 24)
+    np.testing.assert_array_equal(of[0], of[1])  # clip-consistent offset
+
+    # pad: input smaller -> bottom/right pad with 128 (frames) / 0 (masks)
+    small = [np.full((10, 12, 3), 7, np.uint8)]
+    smask = [[np.ones((10, 12), np.uint8)]]
+    pf, pm = fixed_size_crop_clip(np.random.RandomState(0), small, smask,
+                                  (16, 16))
+    assert pf[0].shape == (16, 16, 3)
+    assert (pf[0][:10, :12] == 7).all() and (pf[0][10:, :] == 128).all()
+    assert (pm[0][0][10:, :] == 0).all() and (pm[0][0][:10, :12] == 1).all()
+
+
 def test_color_jitter_semantics():
     """d2 BlendTransform semantics: brightness scales, contrast blends with
     the mean, saturation blends with ITU-R grayscale (no-op on gray)."""
