@@ -12,7 +12,8 @@ Design notes (TPU-first):
     fixed shapes;
   * per-dataset class counts do NOT mutate the model at runtime (the reference
     overwrites ``sem_seg_head.num_classes`` per dataset, ``simplebsl.py:57``);
-    instead text embeddings are padded to ``max_classes`` and masked.
+    instead the text-embedding bank is an ARGUMENT of the jitted forward, so
+    a dataset switch is just a different (K, D) operand (one retrace per K).
 """
 
 from __future__ import annotations
@@ -130,6 +131,10 @@ class ClipAdapterConfig:
     # inference-time score ensemble
     clip_ensemble: bool = True
     clip_ensemble_weight: float = 0.8
+    # static sub-samples per roi_align output bin (reference uses the
+    # adaptive ceil(roi/out) grid, adapter.py:106-111 — data-dependent, so
+    # untraceable; 2 halves the sampling-density gap on large crops)
+    crop_sampling_ratio: int = 2
     # mask-adapted CLIP knobs
     mask_prompt_depth: int = 3
     mask_prompt_fwd: bool = True
@@ -155,6 +160,10 @@ class TestConfig:
 
     window_inference: bool = False
     window_size: int = 10
+    # bf16 AMP evaluation (reference evaluates under torch.autocast,
+    # train_net.py:241-242): f32 params/frames/text cast to bf16 for the
+    # whole eval path; mask logits return to f32 at the host boundary
+    amp: bool = True
     object_mask_threshold: float = 0.0
     overlap_threshold: float = 0.0
     topk_per_video: int = 10
@@ -175,7 +184,6 @@ class ModelConfig:
     resampler: ResamplerConfig = field(default_factory=ResamplerConfig)
     test: TestConfig = field(default_factory=TestConfig)
     num_classes: int = 101            # training taxonomy size (ytvis_2019_train2coco)
-    max_classes: int = 1200           # padded open-vocab class axis (>= LVVIS 1196)
     size_divisibility: int = 32
     pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
     pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)

@@ -40,6 +40,7 @@ from openvis_tpu.evals.burst_eval import BURSTEvaluator
 from openvis_tpu.evals.ytvis_eval import YTVISEvaluator
 from openvis_tpu.models.postprocess import inference_video_topk
 from openvis_tpu.models.tracking import apply_track_indices, track_by_embeds
+from openvis_tpu.utils.image import resize_bilinear_torch_hw
 
 logger = logging.getLogger(__name__)
 
@@ -206,6 +207,28 @@ def build_clip_visual(cfg: Config):
     ca = cfg.model.clip_adapter
     shape = _MODEL_SHAPES[ca.clip_model_name]
     vtree = load_msgpack(ca.weights)["visual"]
+    if isinstance(shape["vision_layers"], tuple):
+        # ModifiedResNet tower (RN50/RN101): the mask routes into the
+        # attention pool's key padding — one module serves both the plain
+        # and the mask-adapted adapters (mask_adapted_clip/model.py:73-221)
+        from openvis_tpu.models.clip_mask_adapted import (
+            MaskAdaptedModifiedResNet,
+        )
+
+        vis = MaskAdaptedModifiedResNet(
+            layers=shape["vision_layers"], width=shape["vision_width"],
+            embed_dim=shape["embed_dim"], heads=shape["vision_heads"],
+            image_size=shape["image_size"],
+        )
+        vtree = amp_cast(cfg, vtree)
+        if ca.name in ("adapted", "bg_adapted"):
+            return (
+                lambda imgs, masks=None: vis.apply(
+                    {"params": vtree}, imgs, masks
+                ),
+                True,
+            )
+        return (lambda imgs: vis.apply({"params": vtree}, imgs)), False
     if ca.name in ("adapted", "bg_adapted"):
         from openvis_tpu.models.clip_mask_adapted import MaskAdaptedVisual
 
@@ -221,6 +244,7 @@ def build_clip_visual(cfg: Config):
                 (ca.mask_prompt_depth, g * g, shape["vision_width"]),
                 np.float32,
             ))
+        vtree = amp_cast(cfg, vtree)
         return (
             lambda imgs, masks=None: vis.apply({"params": vtree}, imgs, masks),
             True,
@@ -230,7 +254,27 @@ def build_clip_visual(cfg: Config):
         layers=shape["vision_layers"], heads=shape["vision_heads"],
         embed_dim=shape["embed_dim"], image_size=shape["image_size"],
     )
+    vtree = amp_cast(cfg, vtree)
     return (lambda imgs: vis.apply({"params": vtree}, imgs)), False
+
+
+def eval_dtype(cfg: Config):
+    """Array dtype for the eval path: bf16 under AMP eval (``test.amp``,
+    mirroring the reference's autocast evaluation, train_net.py:241-242)."""
+    return jnp.bfloat16 if cfg.model.test.amp else jnp.float32
+
+
+def amp_cast(cfg: Config, tree):
+    """Cast every f32 leaf of ``tree`` (param trees and host arrays alike)
+    to bf16 when AMP eval is on; other dtypes pass through.  The model's
+    f32-sensitive islands (CLIP LayerNormF32, attention softmaxes) upcast
+    internally regardless of param dtype."""
+    if not cfg.model.test.amp:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        tree,
+    )
 
 
 def crop_text_with_bg(cfg: Config, params, text: jax.Array):
@@ -247,6 +291,7 @@ def crop_text_with_bg(cfg: Config, params, text: jax.Array):
         return text, False
     bg = jnp.asarray(bg, jnp.float32)
     bg = bg / (jnp.linalg.norm(bg, axis=-1, keepdims=True) + 1e-6)
+    bg = bg.astype(text.dtype)  # keep the bank's (AMP) dtype
     return jnp.concatenate([text, bg.reshape(1, -1)], axis=0), True
 
 
@@ -277,11 +322,13 @@ def make_openvis_score_fn(cfg: Config, clip_visual_apply, adapted=None):
                 text_feats, input_resolution=res,
                 mask_prompt_fwd=ca.mask_prompt_fwd,
                 mask_stride=cfg.model.pixel_decoder.common_stride,
+                sampling_ratio=ca.crop_sampling_ratio,
             )
         return clip_crop_classify(
             clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
             text_feats, input_resolution=res,
             mask_stride=cfg.model.pixel_decoder.common_stride,
+            sampling_ratio=ca.crop_sampling_ratio,
         )
 
     return fn
@@ -316,9 +363,10 @@ def _raw_frames(cfg: Config, pixels: np.ndarray) -> np.ndarray:
     """Undo the model normalization: CLIP crops sample the ORIGINAL 0-255
     frames (the reference feeds ``batched_inputs[0]["image"]``,
     ``simplebsl.py:297``)."""
-    return pixels * np.asarray(cfg.model.pixel_std) + np.asarray(
+    raw = pixels * np.asarray(cfg.model.pixel_std) + np.asarray(
         cfg.model.pixel_mean
     )
+    return raw.astype(eval_dtype(cfg))
 
 
 def _host_videos(cfg: Config, dataset_name: str, max_videos):
@@ -448,6 +496,10 @@ def evaluate_dataset(
     info = catalog.get(dataset_name)
     evaluator = make_evaluator(info)
 
+    # AMP eval (reference autocast, train_net.py:241-242): one param cast
+    # up front covers every sub-path below; frames/text cast at transfer
+    params = amp_cast(cfg, params)
+
     # eval never reads aux-layer logits; for SAN/BriVIS that skips the
     # (L+1)x CLIP post-encode per window (san.py:74-92 is train-only)
     if getattr(model, "supervise_aux_logits", False):
@@ -483,7 +535,7 @@ def evaluate_dataset(
         # combined with the model's own text-matching scores below
         ensemble = True
         openvis_score_fn = jax.jit(make_openvis_score_fn(cfg, clip_visual_apply))
-    text = jnp.asarray(text_feats)
+    text = jnp.asarray(text_feats, eval_dtype(cfg))
     text_crop, crop_has_bg = text, False
     if ensemble:
         text_crop, crop_has_bg = crop_text_with_bg(cfg, params, text)
@@ -550,7 +602,7 @@ def evaluate_dataset(
             gpad = ndev - len(grp)
             if gpad:
                 grp = grp + [grp[-1]] * gpad
-            frames_g = jnp.asarray(np.concatenate(grp))   # (G*W, H, Wd, 3)
+            frames_g = jnp.asarray(np.concatenate(grp), eval_dtype(cfg))  # (G*W,H,Wd,3)
             if shard is not None:
                 frames_g = jax.device_put(frames_g, shard)
             pending.append((window_fn(params, frames_g, text), gi, len(grp),
@@ -628,9 +680,7 @@ def evaluate_dataset(
         # upsample 1/4-res mask logits to the padded input resolution on host
         mk = topk_np["mask_logits"][:, :t]                 # (topk, T, h, w)
         ph, pw = sample["pixels"].shape[1:3]
-        up = jax.image.resize(
-            jnp.asarray(mk), (mk.shape[0], t, ph, pw), method="bilinear"
-        )
+        up = resize_bilinear_torch_hw(jnp.asarray(mk, jnp.float32), (ph, pw))
         topk_np["mask_logits"] = np.asarray(up)
         _emit(evaluator, rec["video_id"], topk_np,
               sample["image_size"], sample["orig_size"])
@@ -723,7 +773,7 @@ def _evaluate_brivis_windowed(
     resampler; SURVEY §3.3) the way its data flow intends."""
     window = cfg.model.test.window_size
     topk = cfg.model.test.topk_per_video
-    text = jnp.asarray(text_feats)
+    text = jnp.asarray(text_feats, eval_dtype(cfg))
 
     stack_fn = jax.jit(
         lambda p, f: model.apply({"params": p}, f, f.shape[0],
@@ -748,7 +798,7 @@ def _evaluate_brivis_windowed(
             pad = window - len(chunk)
             if pad:
                 chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-            out = stack_fn(params, jnp.asarray(chunk))
+            out = stack_fn(params, jnp.asarray(chunk, eval_dtype(cfg)))
             keep = window - pad
             parts["embeds"].append(np.asarray(out["pred_embeds"][0, :keep]))
             parts["mask_feats"].append(np.asarray(out["mask_feats"][:keep]))
@@ -815,9 +865,7 @@ def _evaluate_brivis_windowed(
         topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
         mk = topk_np["mask_logits"][:, :t]
         ph, pw = sample["pixels"].shape[1:3]
-        up = jax.image.resize(
-            jnp.asarray(mk), (mk.shape[0], t, ph, pw), method="bilinear"
-        )
+        up = resize_bilinear_torch_hw(jnp.asarray(mk, jnp.float32), (ph, pw))
         topk_np["mask_logits"] = np.asarray(up)
         _emit(evaluator, rec["video_id"], topk_np,
               sample["image_size"], sample["orig_size"])
@@ -841,7 +889,7 @@ def _evaluate_single_shot(
     fn = jax.jit(make_single_shot_fn(cfg, model, pre_topk=ensemble))
     window_fn = jax.jit(make_single_shot_window_fn(cfg, model))
     window = cfg.model.test.window_size
-    text = jnp.asarray(text_feats)
+    text = jnp.asarray(text_feats, eval_dtype(cfg))
     score_fn = text_crop = None
     crop_has_bg = False
     if ensemble:
@@ -872,7 +920,8 @@ def _evaluate_single_shot(
                 )
             fv = np.zeros((tb,), bool)
             fv[:t] = True
-            out = fn(params, jnp.asarray(frames), text, jnp.asarray(fv))
+            out = fn(params, jnp.asarray(frames, eval_dtype(cfg)), text,
+                     jnp.asarray(fv))
             if ensemble:
                 probs, masks_all = out
                 topk_out = _ensembled_topk(probs, masks_all,
@@ -898,7 +947,8 @@ def _evaluate_single_shot(
                 wfv = np.zeros((window,), bool)
                 wfv[: window - pad] = True
                 lg, mk = window_fn(
-                    params, jnp.asarray(chunk), text, jnp.asarray(wfv)
+                    params, jnp.asarray(chunk, eval_dtype(cfg)), text,
+                    jnp.asarray(wfv)
                 )
                 acc = lg if acc is None else acc + lg
                 mparts.append(np.asarray(mk[:, : window - pad]))
@@ -922,9 +972,7 @@ def _evaluate_single_shot(
         topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
         mk = topk_np["mask_logits"][:, :t]
         ph, pw = sample["pixels"].shape[1:3]
-        up = jax.image.resize(
-            jnp.asarray(mk), (mk.shape[0], t, ph, pw), method="bilinear"
-        )
+        up = resize_bilinear_torch_hw(jnp.asarray(mk, jnp.float32), (ph, pw))
         topk_np["mask_logits"] = np.asarray(up)
         _emit(evaluator, rec["video_id"], topk_np,
               sample["image_size"], sample["orig_size"])

@@ -22,9 +22,8 @@ from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-from PIL import Image
-
 from openvis_tpu.data import rle as rle_util
+from openvis_tpu.utils.image import resize_bilinear_torch_np
 
 
 def masks_to_video_rles(
@@ -34,14 +33,16 @@ def masks_to_video_rles(
 ) -> List[Optional[Dict]]:
     h, w = int(image_size[0]), int(image_size[1])
     oh, ow = int(orig_size[0]), int(orig_size[1])
-    out = []
-    for t in range(mask_logits.shape[0]):
-        m = mask_logits[t, :h, :w]
-        if (h, w) != (oh, ow):
-            img = Image.fromarray(m.astype(np.float32), mode="F")
-            m = np.asarray(img.resize((ow, oh), Image.BILINEAR))
-        out.append(rle_util.encode((m > 0).astype(np.uint8)))
-    return out
+    m = mask_logits[:, :h, :w]
+    if (h, w) != (oh, ow):
+        # torch-exact bilinear (NO antialias): the reference's final
+        # F.interpolate before `> 0` (video_maskformer.py:263-298) — a PIL
+        # resize antialiases downscales and flips boundary-pixel signs
+        m = resize_bilinear_torch_np(m, (oh, ow))
+    return [
+        rle_util.encode((m[t] > 0).astype(np.uint8))
+        for t in range(m.shape[0])
+    ]
 
 
 def video_iou(d_segs, g_segs, iscrowd: bool = False) -> float:

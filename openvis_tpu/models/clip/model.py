@@ -298,15 +298,35 @@ _MODEL_SHAPES = {
     "ViT-L/14@336px": dict(embed_dim=768, vision_patch=14, vision_width=1024,
                            vision_layers=24, vision_heads=16, image_size=336,
                            text_width=768, text_heads=12, text_layers=12),
+    # ModifiedResNet towers (vision_layers is a TUPLE -> RN dispatch; used
+    # by the mask-adapted fork, mask_adapted_clip/model.py:387-401)
+    "RN50": dict(embed_dim=1024, vision_patch=None, vision_width=64,
+                 vision_layers=(3, 4, 6, 3), vision_heads=32, image_size=224,
+                 text_width=512, text_heads=8, text_layers=12),
+    "RN101": dict(embed_dim=512, vision_patch=None, vision_width=64,
+                  vision_layers=(3, 4, 23, 3), vision_heads=32,
+                  image_size=224, text_width=512, text_heads=8,
+                  text_layers=12),
     # tiny shape for tests/smoke runs (not a real OpenAI checkpoint)
     "test-tiny": dict(embed_dim=32, vision_patch=8, vision_width=64,
                       vision_layers=4, vision_heads=4, image_size=64,
                       text_width=64, text_heads=4, text_layers=2,
                       vocab_size=512, context_length=16),
+    "test-tiny-rn": dict(embed_dim=32, vision_patch=None, vision_width=8,
+                         vision_layers=(1, 1, 1, 1), vision_heads=4,
+                         image_size=64, text_width=64, text_heads=4,
+                         text_layers=2, vocab_size=512, context_length=16),
 }
 
 
 def build_clip(model_name: str = "ViT-B/16") -> CLIP:
     if model_name not in _MODEL_SHAPES:
         raise ValueError(f"unknown CLIP model {model_name!r}")
-    return CLIP(**_MODEL_SHAPES[model_name])
+    shape = _MODEL_SHAPES[model_name]
+    if isinstance(shape["vision_layers"], tuple):
+        raise ValueError(
+            f"{model_name!r} is a ModifiedResNet tower — build the vision "
+            "side via openvis_tpu.models.clip_mask_adapted."
+            "MaskAdaptedModifiedResNet (engine.build_clip_visual dispatches)"
+        )
+    return CLIP(**shape)

@@ -54,21 +54,27 @@ def roi_crop(
     images: jax.Array,   # (R, H, W, C) — image per region (pre-gathered)
     boxes: jax.Array,    # (R, 4) xyxy
     out_size: int,
+    sampling_ratio: int = 1,
 ) -> jax.Array:
     """Bilinear crop-resize each region to (out_size, out_size).
 
     Matches torchvision ``roi_align(aligned=False)`` — the reference's call
-    (``adapter.py:108``, no half-pixel correction; samples at bin centers
-    ``x0 + (j+0.5)*bin_w`` on the integer pixel grid, clamped inside
-    [-1, size] and zero outside) — with ``sampling_ratio=1`` (one sample per
-    bin; the reference's adaptive per-roi grid count is data-dependent and
-    cannot trace with static shapes)."""
+    (``adapter.py:108``, no half-pixel correction; samples at
+    ``x0 + (j + (k+0.5)/sr) * bin_w`` on the integer pixel grid, clamped
+    inside [-1, size] and zero outside, averaged over the sr*sr sub-samples
+    per bin) — with a STATIC ``sampling_ratio`` (the reference's adaptive
+    per-roi grid count ``ceil(roi/out)`` (adapter.py:106-111) is
+    data-dependent and cannot trace with static shapes; ``sampling_ratio=2``
+    halves the sampling-density gap on large crops)."""
     r, h, w, c = images.shape
+    sr = sampling_ratio
+    s = out_size
     x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    sx = (x1 - x0) / out_size
-    sy = (y1 - y0) / out_size
-    grid = jnp.arange(out_size, dtype=jnp.float32) + 0.5
-    cx = x0[:, None] + grid[None, :] * sx[:, None]         # (R, S)
+    sx = (x1 - x0) / s
+    sy = (y1 - y0) / s
+    # sub-sample positions in bin units: idx = j*sr + k -> (idx + 0.5)/sr
+    grid = (jnp.arange(s * sr, dtype=jnp.float32) + 0.5) / sr
+    cx = x0[:, None] + grid[None, :] * sx[:, None]         # (R, S*sr)
     cy = y0[:, None] + grid[None, :] * sy[:, None]
     # roi_align: samples beyond 1px outside are zero; within, clamp to edge
     inb = ((cy[:, :, None] >= -1.0) & (cy[:, :, None] <= h)
@@ -84,7 +90,7 @@ def roi_crop(
     def gather(yy, xx):
         yy = jnp.clip(yy, 0, h - 1)
         xx = jnp.clip(xx, 0, w - 1)
-        # (R, S, S, C) via advanced indexing per region
+        # (R, S*sr, S*sr, C) via advanced indexing per region
         ridx = jnp.arange(r)[:, None, None]
         return images[ridx, yy[:, :, None], xx[:, None, :], :]
 
@@ -100,7 +106,12 @@ def roi_crop(
         + g10 * ly_ * (1 - lx_)
         + g11 * ly_ * lx_
     )
-    return jnp.where(inb[..., None], out, 0.0)
+    out = jnp.where(inb[..., None], out, 0.0)
+    if sr == 1:
+        return out
+    # average the sr*sr sub-samples per output bin (torchvision divides by
+    # the full count, including zeroed out-of-bounds samples)
+    return out.reshape(r, s, sr, s, sr, c).mean(axis=(2, 4))
 
 
 def clip_crop_classify(
@@ -113,6 +124,7 @@ def clip_crop_classify(
     mask_stride: int = 1,  # masks may live on a coarser grid (e.g. 1/4):
                            # boxes scale by stride for the frame crop, so the
                            # reference's full-res mask upsample is avoided
+    sampling_ratio: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (logits (T, Q, K), valid (T, Q)).  Mirrors
     ``ClipAdapter.forward`` + ``_preprocess_image`` (adapter.py:56-116)."""
@@ -124,9 +136,11 @@ def clip_crop_classify(
     # gather each region's source frame
     frame_ids = jnp.repeat(jnp.arange(t), q)
     imgs = frames_raw[frame_ids]                         # (R, H, W, 3)
-    crops = roi_crop(imgs, boxes * mask_stride, input_resolution)
+    crops = roi_crop(imgs, boxes * mask_stride, input_resolution,
+                     sampling_ratio=sampling_ratio)
     mask_crops = roi_crop(
-        flat_masks[..., None], boxes, input_resolution
+        flat_masks[..., None], boxes, input_resolution,
+        sampling_ratio=sampling_ratio,
     )                                                    # (R, S, S, 1)
     blended = crops * mask_crops                          # bg -> 0 (adapter.py:115)
 

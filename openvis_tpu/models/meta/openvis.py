@@ -90,6 +90,7 @@ def openvis_ov_scores(
     text_feats: jax.Array,   # (K, D)
     chunk: int = 5,
     input_resolution: int = 224,
+    sampling_ratio: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Open-vocabulary inference scores (openvis.py:110-147): chunked CLIP
     crop classification, frame-averaged logits -> softmax.  Returns
@@ -102,6 +103,7 @@ def openvis_ov_scores(
         lg, va = clip_crop_classify(
             visual_apply, frames_raw[i : i + chunk], masks[i : i + chunk],
             text_feats, input_resolution=input_resolution,
+            sampling_ratio=sampling_ratio,
         )
         logits_parts.append(lg)
         valid_parts.append(va)

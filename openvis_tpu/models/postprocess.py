@@ -55,9 +55,3 @@ def inference_video_topk(
         "entropy": entropy,
         "mask_logits": masks,
     }
-
-
-def upsample_mask_logits(mask_logits: jax.Array, size) -> jax.Array:
-    """(..., T, H, W) -> bilinear to (..., T, size[0], size[1])."""
-    out_shape = (*mask_logits.shape[:-2], size[0], size[1])
-    return jax.image.resize(mask_logits, out_shape, method="bilinear")

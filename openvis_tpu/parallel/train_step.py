@@ -19,6 +19,7 @@ arrays; bf16 compute happens inside the model (``solver.amp``).
 
 from __future__ import annotations
 
+import re
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -33,16 +34,39 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def label_params(params, freeze_prefixes=()) -> Any:
+def _backbone_stage(segment: str) -> Optional[int]:
+    """d2 stage index of a backbone param-tree segment: stem/patch-embed = 1,
+    ``res{k}`` = k (ResNet), ``stage{i}``/``downsample{i}``/``out_norm{i}`` =
+    i + 2 (Swin).  None for unrecognized segments (never frozen)."""
+    if segment.startswith(("stem", "patch_embed", "patch_norm", "ape")):
+        return 1
+    m = re.match(r"res(\d)_", segment)
+    if m:
+        return int(m.group(1))
+    m = re.match(r"(?:stage|downsample|out_norm)(\d+)", segment)
+    if m:
+        return int(m.group(1)) + 2
+    return None
+
+
+def label_params(params, freeze_prefixes=(), freeze_at: int = 0) -> Any:
     """Label each param: 'frozen' | 'backbone' | 'backbone_nodecay' |
     'main' | 'nodecay'.  ``freeze_prefixes``: top-level subtree names whose
     params get zero updates (BriVIS stage 2 freezes segmenter +
-    clip_adapter, brivis.py:36-41)."""
+    clip_adapter, brivis.py:36-41).  ``freeze_at``: d2 ``BACKBONE.FREEZE_AT``
+    — zero updates for the stem (1) and stages up to ``freeze_at``
+    (d2 ``ResNet.freeze``; the reference trains with FREEZE_AT 0 but the
+    knob is part of the config contract)."""
 
     def label(path, x):
         p = _path_str(path).lower()
         for pref in freeze_prefixes:
             if p.startswith(pref.lower()):
+                return "frozen"
+        if freeze_at > 0 and "/backbone/" in f"/{p}/":
+            seg = p.split("backbone/", 1)[1].split("/", 1)[0]
+            stage = _backbone_stage(seg)
+            if stage is not None and stage <= freeze_at:
                 return "frozen"
         frozen_affine = ("norm" in p and "scale" in p.split("/")[-1]) or (
             "norm" in p and p.split("/")[-1] == "bias"
@@ -97,7 +121,9 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     freeze_prefixes = (
         ("segmenter", "clip_adapter") if cfg.model.freeze_segmenter else ()
     )
-    labels = label_params(params, freeze_prefixes)
+    labels = label_params(
+        params, freeze_prefixes, freeze_at=cfg.model.backbone.freeze_at
+    )
     tx = optax.multi_transform(
         {
             "main": adamw(1.0, s.weight_decay),

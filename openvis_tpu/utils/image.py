@@ -37,16 +37,19 @@ def _bicubic_matrix(src: int, dst: int) -> np.ndarray:
     align_corners=False)`` weights: half-pixel transform
     ``s = (d + 0.5) * src/dst - 0.5``, 4 taps at ``floor(s)-1..+2`` with
     border-clamped indices (clamped taps accumulate onto the edge)."""
-    scale = src / dst
-    d = np.arange(dst, dtype=np.float64)
-    s = (d + 0.5) * scale - 0.5
+    # f32 coordinate transform to match torch's scalar-type math (see
+    # _bilinear_matrix)
+    scale = np.float32(src) / np.float32(dst)
+    d32 = np.arange(dst, dtype=np.float32)
+    s = (scale * (d32 + np.float32(0.5)) - np.float32(0.5)).astype(np.float64)
     i0 = np.floor(s).astype(np.int64)
     w = np.zeros((dst, src), np.float64)
+    di = np.arange(dst, dtype=np.int64)
     for t in range(-1, 3):
         j = i0 + t
         wt = _cubic_kernel(s - j)
         jc = np.clip(j, 0, src - 1)
-        np.add.at(w, (d.astype(np.int64), jc), wt)
+        np.add.at(w, (di, jc), wt)
     return w.astype(np.float32)
 
 
@@ -74,14 +77,19 @@ def _bilinear_matrix(src: int, dst: int) -> np.ndarray:
     of resized mask logits near boundaries — and the reference's masked
     attention reads exactly that sign (``F.interpolate`` at
     video_mask2former_transformer_decoder.py:419)."""
-    scale = src / dst
-    d = np.arange(dst, dtype=np.float64)
-    s = np.clip((d + 0.5) * scale - 0.5, 0.0, None)
+    # torch computes the coordinate transform in the tensor's scalar type
+    # (f32): scale = src/dst, s = scale*(d+0.5)-0.5 — emulate in f32 or the
+    # weights drift ~1e-5 from torch's on larger sizes
+    scale = np.float32(src) / np.float32(dst)
+    d = np.arange(dst, dtype=np.float32)
+    s = np.maximum(scale * (d + np.float32(0.5)) - np.float32(0.5),
+                   np.float32(0.0))
     i0 = np.floor(s).astype(np.int64)
-    frac = s - i0
+    frac = (s - i0.astype(np.float32)).astype(np.float64)
     w = np.zeros((dst, src), np.float64)
-    np.add.at(w, (d.astype(np.int64), np.clip(i0, 0, src - 1)), 1.0 - frac)
-    np.add.at(w, (d.astype(np.int64), np.clip(i0 + 1, 0, src - 1)), frac)
+    di = np.arange(dst, dtype=np.int64)
+    np.add.at(w, (di, np.clip(i0, 0, src - 1)), 1.0 - frac)
+    np.add.at(w, (di, np.clip(i0 + 1, 0, src - 1)), frac)
     return w.astype(np.float32)
 
 
@@ -97,6 +105,27 @@ def resize_bilinear_torch(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
     wx = jnp.asarray(_bilinear_matrix(w, tw), x.dtype)
     y = jnp.einsum("th,...hwc->...twc", wy, x)
     return jnp.einsum("uw,...twc->...tuc", wx, y)
+
+
+def resize_bilinear_torch_np(x: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Host-side numpy twin of :func:`resize_bilinear_torch_hw` (trailing
+    (H, W) axes).  The evaluator's FINAL logit resize before ``> 0``
+    thresholding (reference ``retry_if_cuda_oom(F.interpolate)``,
+    video_maskformer.py:263-298) must keep torch bilinear semantics: PIL
+    antialiases downscales, flipping thresholded boundary pixels."""
+    h, w = x.shape[-2], x.shape[-1]
+    th, tw = size
+    if (h, w) == (th, tw):
+        return np.asarray(x, np.float32)
+    wy = _bilinear_matrix(h, th)
+    wx = _bilinear_matrix(w, tw)
+    # accumulate in f64 (correctly-rounded result; stays within 1 ulp of
+    # torch's f32 per-pixel 2x2 accumulation), return f32
+    out = np.einsum(
+        "th,...hw,uw->...tu", wy, np.asarray(x, np.float64), wx,
+        optimize=True,
+    )
+    return out.astype(np.float32)
 
 
 def resize_bilinear_torch_hw(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:

@@ -91,6 +91,27 @@ def test_train_steps_run_and_losses_finite(setup):
     assert np.abs(np.asarray(k1) - np.asarray(k0)).max() > 0
 
 
+def test_freeze_at_labels(setup):
+    """BACKBONE.FREEZE_AT (d2 ResNet.freeze semantics): freeze_at=2 zeroes
+    updates for the stem + res2 while res3..res5 stay trainable; freeze_at=0
+    freezes nothing beyond the FrozenAffine norms."""
+    from openvis_tpu.parallel.train_step import label_params
+
+    cfg, model, params, batch = setup
+    labels = label_params(params, freeze_at=2)
+    bb = labels["segmenter"]["backbone"]
+    assert bb["stem_conv1"]["kernel"] == "frozen"
+    assert bb["res2_block0"]["conv1"]["kernel"] == "frozen"
+    assert bb["res3_block0"]["conv1"]["kernel"] == "backbone"
+    assert bb["res5_block0"]["conv1"]["kernel"] == "backbone"
+    labels0 = label_params(params, freeze_at=0)
+    bb0 = labels0["segmenter"]["backbone"]
+    assert bb0["stem_conv1"]["kernel"] == "backbone"
+    assert bb0["res2_block0"]["conv1"]["kernel"] == "backbone"
+    # FrozenAffine params frozen regardless of freeze_at
+    assert bb0["stem_norm1"]["scale"] == "frozen"
+
+
 def test_overfit_one_batch(setup):
     """Training correctness beyond 'runs and is finite': 25 optimizer steps
     on one fixed batch must substantially reduce the loss (the reference's

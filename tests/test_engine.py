@@ -635,6 +635,48 @@ def test_mesh_sharded_eval_matches_sequential(synth_root):
         np.testing.assert_allclose(par[k], seq[k], rtol=1e-4, atol=1e-6)
 
 
+def test_amp_eval_bounded_drift(synth_root):
+    """AMP eval (``test.amp``, mirroring the reference's autocast evaluation,
+    train_net.py:241-242): bf16 scores must stay within a tight bound of the
+    f32 path, and the predicted masks must be near-identical (the final
+    logit upsample + threshold runs in f32 either way)."""
+    from openvis_tpu.data import rle as rle_util
+
+    cfg = _cfg(synth_root)
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text /= np.linalg.norm(text, axis=-1, keepdims=True)
+    sample = {
+        "pixels": jnp.zeros((1, 2, 64, 96, 3), jnp.float32),
+        "text_feats": jnp.asarray(text),
+    }
+    model, params = init_model(cfg, jax.random.PRNGKey(0), sample)
+
+    def run(amp, out_name):
+        c = dataclasses.replace(
+            cfg,
+            model=dataclasses.replace(
+                cfg.model, test=dataclasses.replace(cfg.model.test, amp=amp)
+            ),
+            output_dir=os.path.join(synth_root, out_name),
+        )
+        evaluate_dataset(c, model, params, "synth_eval", text)
+        with open(os.path.join(c.output_dir,
+                               "results_synth_eval.json")) as f:
+            return json.load(f)
+
+    p32 = run(False, "out_f32")
+    p16 = run(True, "out_bf16")
+    assert len(p32) == len(p16) > 0
+    for a, b in zip(p32, p16):
+        assert a["category_id"] == b["category_id"]
+        assert abs(a["score"] - b["score"]) < 0.02
+        for sa, sb in zip(a["segmentations"], b["segmentations"]):
+            ma, mb = rle_util.decode(sa), rle_util.decode(sb)
+            inter, union = (ma & mb).sum(), (ma | mb).sum()
+            assert union == 0 or inter / union > 0.95
+
+
 def test_clip_ensemble_combination():
     from openvis_tpu.engine import apply_clip_ensemble
 

@@ -61,3 +61,26 @@ def test_bilinear_matches_torch(shape):
     np.testing.assert_allclose(
         ours_hw, ref.transpose(0, 3, 1, 2), rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("shape", [
+    (48, 64, 30, 40),    # DOWNSCALE — PIL would antialias here; torch doesn't
+    (12, 16, 48, 64),    # upscale (the evaluator's padded->orig direction)
+    (17, 23, 17, 23),    # identity
+])
+def test_bilinear_np_matches_torch_and_flips_signs(shape):
+    """The evaluator's final logit resize (before `> 0` thresholding) must be
+    torch-exact: reference F.interpolate in video_maskformer.py:263-298."""
+    from openvis_tpu.utils.image import resize_bilinear_torch_np
+
+    h, w, th, tw = shape
+    rng = np.random.RandomState(3)
+    x = rng.randn(4, h, w).astype(np.float32)  # logits straddle zero
+    ref = F.interpolate(
+        torch.from_numpy(x)[None], (th, tw), mode="bilinear",
+        align_corners=False,
+    )[0].numpy()
+    ours = resize_bilinear_torch_np(x, (th, tw))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    # the correctness contract is the SIGN field, not a tolerance
+    np.testing.assert_array_equal(ours > 0, ref > 0)

@@ -334,9 +334,54 @@ def _clip_block(d, pre):
     }
 
 
+def _convert_clip_rn_visual(d: Dict[str, np.ndarray]) -> Dict:
+    """OpenAI/mask-adapted RN visual tower (``ModifiedResNet``,
+    ``third_parties/mask_adapted_clip/mask_adapted_clip/model.py:151-221``)
+    -> ``MaskAdaptedModifiedResNet`` tree.  Eval-mode BNs fold into affines
+    (the tower is frozen, so folding running stats is exact)."""
+    visual = {}
+    for i in (1, 2, 3):
+        visual[f"stem_conv{i}"] = _conv(d, f"visual.conv{i}", bias=False)
+        visual[f"stem_bn{i}"] = _frozen_bn(d, f"visual.bn{i}")
+    for si in range(1, 5):
+        b = 0
+        while f"visual.layer{si}.{b}.conv1.weight" in d:
+            pre = f"visual.layer{si}.{b}"
+            blk = {}
+            for ci in (1, 2, 3):
+                blk[f"conv{ci}"] = _conv(d, f"{pre}.conv{ci}", bias=False)
+                blk[f"bn{ci}"] = _frozen_bn(d, f"{pre}.bn{ci}")
+            if f"{pre}.downsample.0.weight" in d:
+                blk["downsample_conv"] = _conv(d, f"{pre}.downsample.0",
+                                               bias=False)
+                blk["downsample_bn"] = _frozen_bn(d, f"{pre}.downsample.1")
+            visual[f"layer{si}_block{b}"] = blk
+            b += 1
+    visual["positional_embedding"] = d["visual.attnpool.positional_embedding"]
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        visual[p] = _lin(d, f"visual.attnpool.{p}")
+    return visual
+
+
 def convert_clip(state: Dict[str, np.ndarray]) -> Dict:
-    """OpenAI CLIP state dict -> {visual: ..., text: ..., logit_scale}."""
+    """OpenAI CLIP state dict -> {visual: ..., text: ..., logit_scale}.
+    Dispatches between the ViT and ModifiedResNet (RN50/RN101) visual
+    towers by key shape."""
     d = state
+    if "visual.layer1.0.conv1.weight" in d:
+        visual = _convert_clip_rn_visual(d)
+        n_txt = len({k.split(".")[2] for k in d
+                     if k.startswith("transformer.resblocks.")})
+        text = {
+            "token_embedding": {"embedding": d["token_embedding.weight"]},
+            "positional_embedding": d["positional_embedding"],
+            "ln_final": _ln_f32(d, "ln_final"),
+            "text_projection": d["text_projection"],
+        }
+        for i in range(n_txt):
+            text[f"resblock{i}"] = _clip_block(d, f"transformer.resblocks.{i}")
+        return {"visual": visual, "text": text,
+                "logit_scale": d["logit_scale"].reshape(())}
     n_vis = len({k.split(".")[3] for k in d if k.startswith("visual.transformer.resblocks.")})
     n_txt = len({k.split(".")[2] for k in d if k.startswith("transformer.resblocks.")})
     visual = {
