@@ -47,6 +47,11 @@ def _bench_inference(cfg, arch, tiny):
 
     K, D = cfg.model.num_classes, 512
     model = build_model(cfg)
+    # eval never reads aux-layer CLIP logits — mirror the engine's eval
+    # clone (engine.py:505-506; san.py:74-92 is train-only) or the SAN
+    # bench pays (L+1)x the CLIP post-encode per window
+    if getattr(model, "supervise_aux_logits", False):
+        model = model.clone(supervise_aux_logits=False)
     rng = np.random.RandomState(0)
     t, h, w = (2, 96, 160) if tiny else (10, 384, 640)
     frames = jnp.asarray(rng.randn(t, h, w, 3).astype(np.float32))

@@ -36,31 +36,63 @@ from openvis_tpu.models.clip.model import (
 from openvis_tpu.utils.image import resize_bicubic_torch
 
 
+def _pow2_table_select(h: int, dst: int):
+    """Static plan for exact adaptive-max along one axis of length ``h`` to
+    ``dst`` cells (torch window [floor(i*h/dst), ceil((i+1)*h/dst))): a
+    power-of-2 shift-max sparse table T = [M_1; M_2; M_4; ...] (M_k[j] =
+    max over x[j:j+k]) and TWO one-hot row-selection matrices A, B so that
+    ``out[i] = max((A @ T)[i], (B @ T)[i])`` — max over [s, e) equals
+    max(M_k[s], M_k[e-k]) for k = largest pow2 <= e-s (k <= len <= 2k
+    always holds).  Row selection as a matmul keeps everything on the MXU:
+    TPU gathers of small rows serialize."""
+    ys = (np.arange(dst) * h) // dst
+    ye = np.ceil((np.arange(dst) + 1) * h / dst).astype(int)
+    lens = ye - ys
+    levels = []
+    k = 1
+    while k <= lens.max():
+        levels.append(k)
+        k *= 2
+    lvl_of = {k: i for i, k in enumerate(levels)}
+    A = np.zeros((dst, len(levels) * h), np.float32)
+    B = np.zeros((dst, len(levels) * h), np.float32)
+    for i in range(dst):
+        k = 1 << (int(lens[i]).bit_length() - 1)       # largest pow2 <= len
+        off = lvl_of[k] * h
+        A[i, off + ys[i]] = 1.0
+        B[i, off + ye[i] - k] = 1.0
+    return levels, A, B
+
+
+def _axis_adaptive_max(x: jax.Array, dst: int) -> jax.Array:
+    """Exact adaptive max over the LAST axis -> (..., dst)."""
+    h = x.shape[-1]
+    levels, A, B = _pow2_table_select(h, dst)
+    tables = [x]
+    for prev, k in zip(levels, levels[1:]):
+        m = tables[-1]
+        # M_{2k}[j] = max(M_k[j], M_k[j+k]); tail rows clamp (never selected
+        # beyond h-k by construction)
+        shifted = jnp.concatenate([m[..., prev:], m[..., -prev:]], axis=-1)
+        tables.append(jnp.maximum(m, shifted))
+    T = jnp.concatenate(tables, axis=-1)               # (..., L*h)
+    a = jnp.einsum("...h,dh->...d", T, jnp.asarray(A, T.dtype))
+    b = jnp.einsum("...h,dh->...d", T, jnp.asarray(B, T.dtype))
+    return jnp.maximum(a, b)
+
+
 def adaptive_max_pool(x: jax.Array, out_hw: Tuple[int, int]) -> jax.Array:
     """(..., H, W) -> (..., th, tw) adaptive max pool (torch semantics:
-    window [floor(i*H/th), ceil((i+1)*H/th))."""
+    window [floor(i*H/th), ceil((i+1)*H/th))), gather-free: separable
+    pow2 shift-max tables + one-hot matmul selection per axis."""
     h, w = x.shape[-2:]
     th, tw = out_hw
     if (h, w) == (th, tw):
         return x
-    # gather with a fixed max window per output cell + -inf masking
-    kh = -(-h // th) + 1
-    kw = -(-w // tw) + 1
-    ys = (np.arange(th) * h) // th
-    xs = (np.arange(tw) * w) // tw
-    ye = np.ceil((np.arange(th) + 1) * h / th).astype(int)
-    xe = np.ceil((np.arange(tw) + 1) * w / tw).astype(int)
-    yi = ys[:, None] + np.arange(kh)[None, :]          # (th, kh)
-    xi = xs[:, None] + np.arange(kw)[None, :]          # (tw, kw)
-    ym = yi < ye[:, None]
-    xm = xi < xe[:, None]
-    yi = np.minimum(yi, h - 1)
-    xi = np.minimum(xi, w - 1)
-    g = x[..., yi, :]                                   # (..., th, kh, W)
-    g = g[..., xi]                                      # (..., th, kh, tw, kw)
-    mask = (ym[:, :, None, None] & xm[None, None, :, :])
-    g = jnp.where(jnp.asarray(mask), g, -jnp.inf)
-    return jnp.max(g, axis=(-3, -1))
+    y = _axis_adaptive_max(x, tw)                      # pool W
+    y = jnp.swapaxes(y, -1, -2)
+    y = _axis_adaptive_max(y, th)                      # pool H
+    return jnp.swapaxes(y, -1, -2)
 
 
 class SideAdapter(nn.Module):

@@ -88,6 +88,7 @@ def main(tiny: bool = False):
 
     results["front_encode"] = _time(_scalarize(front), p_ca, frames)
     mg_feats, bk_tokens, grid = jax.jit(front)(p_ca, frames)
+    grid = (int(grid[0]), int(grid[1]))  # static ints (jit returns arrays)
 
     # full forward -> grab the bias maps for the sub-stage timings
     fwd = jax.jit(lambda p, f, tx: model.apply({"params": p}, f, t, tx))
