@@ -309,7 +309,8 @@ def _sample_level_pallas_v2(value, y, x, attn, h: int, w: int, bq: int = 256,
 
 
 def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
-                         levels, p: int, bq: int, rr: int, ct):
+                         levels, p: int, bq: int, rr: int, ct,
+                         rr_lanes: bool = False):
     """ALL levels of one MSDA call in ONE kernel: grid (bn, nqb).
 
     v3 of the level kernels.  v2 launched one ``pallas_call`` per level, so
@@ -359,6 +360,16 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
     prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
             else jax.lax.Precision.HIGHEST)
 
+    if rr_lanes:
+        # rr-on-lanes helpers (see _fused_dcoord_rr_kernel): the ri-of-lane
+        # map and the DYL scratch (stacked y table, written per level via
+        # sublane-offset blocks — Mosaic cannot concat lane-slices)
+        dyl_ref = refs[nl + 2 + nl]
+        ch_out = acc_ref.shape[-1]
+        rrch = rr * ch_out
+        lane_ri = (
+            jax.lax.broadcasted_iota(jnp.int32, (bq, rrch), 1) // ch_out
+        ).astype(jnp.float32)
     for lvl, (h, w, wp, pk) in enumerate(levels):
         # hoist column tents for this level: tx[q, p, X] = tent(x_qp - X).
         # Each level's tents live in their OWN exact-width (P*BQ, wp_l)
@@ -394,6 +405,44 @@ def _fused_levels_kernel(bounds_ref, y_ref, x_ref, a_ref, *refs,
         hi = bounds_ref[0, 0, lvl, 1]
         # loop-invariant dot lhs: all points' (a-folded) column tents
         txa = tx_ref[:] if pk == 1 else None
+
+        if pk == 1 and rr_lanes:
+            # rr-on-lanes: ONE dot per block emits all rr rows on full
+            # lanes (value pre-laid-out (hp/rr, wp, rr*ch)); y-tents are a
+            # single full-lane op against the hoisted DYL table, and the
+            # (ri, pi) combines collapse to one FMA into a (P*BQ, rr*ch)
+            # carry.  Finalize sums the ri lane-blocks and pi sublane
+            # blocks once per level.
+            for pi in range(p):
+                dyl_ref[pi * bq : (pi + 1) * bq, :] = (
+                    y_ref[0, :, lvl * p + pi][:, None] - lane_ri
+                )
+            dyl = dyl_ref[:]                              # (P*BQ, rr*ch)
+
+            def body_rr(rb, acc4, lvl=lvl, dyl=dyl, txa=txa):
+                vblk = v_refs[lvl][0, rb].astype(ct)      # (wp, rr*ch)
+                d4 = jnp.dot(
+                    txa, vblk, preferred_element_type=jnp.float32,
+                    precision=prec,
+                )                                         # (P*BQ, rr*ch)
+                ty = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dyl - (rb * rr).astype(jnp.float32))
+                )
+                return acc4 + ty * d4
+
+            acc4 = jax.lax.fori_loop(
+                lo, hi, body_rr,
+                jnp.zeros((p * bq, rrch), jnp.float32), unroll=False,
+            )
+            contrib = jnp.zeros((bq, ch_out), jnp.float32)
+            for pi in range(p):
+                for ri in range(rr):
+                    contrib = contrib + acc4[
+                        pi * bq : (pi + 1) * bq,
+                        ri * ch_out : (ri + 1) * ch_out,
+                    ]
+            acc_ref[:] = acc_ref[:] + contrib
+            continue
 
         def block_body(rb, lvl=lvl, wp=wp, pk=pk, roff=roff, txa=txa,
                        tx_ref=tx_ref):
@@ -535,9 +584,10 @@ def _prep_levels(value_t, y_all, spatial_shapes, nqb, bq, rr, value_dtype,
 
 
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
-                                             "interpret", "pack"))
+                                             "interpret", "pack", "rr_lanes"))
 def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
-                interpret: bool = False, pack: bool = True):
+                interpret: bool = False, pack: bool = True,
+                rr_lanes: bool = False):
     """Fused all-level MSDA forward (see ``_fused_levels_kernel``).
 
     value: (B, Len_in, nh, ch); loc: (B, Lq, nh, nl, P, 2) in [0,1];
@@ -584,6 +634,16 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
     v_pads, level_meta, bounds_all, _ = _prep_levels(
         value_t, y_all, spatial_shapes, nqb, bq, rr, value.dtype, pack=pack
     )
+    if rr_lanes:
+        # rr-on-lanes value layout for the x-first (pk == 1) levels (see
+        # _fused_levels_kernel): (bn, hp/rr, wp, rr*ch)
+        v_pads = [
+            vp.reshape(bn, vp.shape[1] // rr, rr, vp.shape[2], ch)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(bn, vp.shape[1] // rr, vp.shape[2], rr * ch)
+            if pk == 1 else vp
+            for vp, (_, _, _, pk) in zip(v_pads, level_meta)
+        ]
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -591,7 +651,7 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
 
     kern = functools.partial(
         _fused_levels_kernel, levels=tuple(level_meta), p=p, bq=bq, rr=rr,
-        ct=ct,
+        ct=ct, rr_lanes=rr_lanes,
     )
     coord_spec = pl.BlockSpec((1, bq, nl * p), lambda b, q: (b, q, 0))
     out = pl.pallas_call(
@@ -602,7 +662,7 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
                          memory_space=pltpu.SMEM),
             coord_spec, coord_spec, coord_spec,
         ] + [
-            pl.BlockSpec((1, vp.shape[1], vp.shape[2], ch),
+            pl.BlockSpec((1, vp.shape[1], vp.shape[2], vp.shape[3]),
                          lambda b, q: (b, 0, 0, 0))
             for vp in v_pads
         ],
@@ -617,7 +677,10 @@ def _msda_fused(value, loc, attn, spatial_shapes, bq: int = 256, rr: int = 4,
             for _, _, wp_l, _ in level_meta
         ] + [
             pltpu.VMEM((bq, ch), jnp.float32),     # cross-level accumulator
-        ],
+        ] + (
+            # rr-on-lanes: the hoisted (P*BQ, rr*ch) DYL table scratch
+            [pltpu.VMEM((p * bq, rr * ch), jnp.float32)] if rr_lanes else []
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
@@ -1046,12 +1109,112 @@ def _fused_dcoord_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
     dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
 
 
+def _fused_dcoord_rr_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
+                            levels, p: int, bq: int, rr: int, ct):
+    """RR-ON-LANES dCoord: all levels, grid (bn, nqb), UNPACKED levels only.
+
+    The x-first kernel above issues ``rr`` dots per block, each emitting a
+    (2P*BQ, ch=32) result — 32 of 128 output lanes — and then runs
+    3*P*rr lane-padded (BQ, ch) tent combines per block.  Here the value is
+    pre-laid-out per level as (hp/rr, wp, rr*ch): ONE dot per block emits
+    all ``rr`` rows' D and Dp on FULL lanes, ``ddp = txx @ V4[rb]`` of
+    shape (2P*BQ, rr*ch).  The y-tents become full-lane ops against a
+    hoisted per-level table ``DYL[pi*BQ+q, ri*ch+c] = y_qpi - ri`` (per
+    block just subtract the scalar r0), and the per-(ri, pi) combines
+    collapse to THREE full-lane FMAs into (P*BQ, rr*ch) carries.  The
+    ri-sum never happens inside the loop: finalize contracts each carry
+    against ``G4 = [g g .. g]`` (g lane-tiled rr times), folding the
+    lane-block reduction into the existing per-point g-contraction.
+
+    Per block this is 8 MXU tile-issues instead of 32 and ~1/3 the VPU
+    vreg-instructions of the x-first form (measured: see BASELINE.md)."""
+    nl = len(levels)
+    v_refs = refs[:nl]
+    da_ref, dy_ref, dx_ref = refs[nl], refs[nl + 1], refs[nl + 2]
+    txx_refs = refs[nl + 3 : nl + 3 + nl]
+    dyl_ref = refs[nl + 3 + nl]
+    s_da, s_dy, s_dx = refs[nl + 4 + nl :]
+
+    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    g = g_ref[0].astype(jnp.float32)                      # (BQ, ch)
+    ch = g.shape[-1]
+    rrch = rr * ch
+    # hoisted across levels: g lane-tiled rr times, and the ri-of-lane map
+    g4 = jnp.concatenate([g] * rr, axis=1)                # (BQ, rr*ch)
+    lane_ri = (
+        jax.lax.broadcasted_iota(jnp.int32, (bq, rrch), 1) // ch
+    ).astype(jnp.float32)
+
+    for lvl, (h, w, wp, pk) in enumerate(levels):
+        # per-level (2*P*BQ, wp) x-tent scratch: tx rows then txp rows
+        # (identical to the x-first kernel's)
+        txx_ref = txx_refs[lvl]
+        jj = jax.lax.broadcasted_iota(
+            jnp.int32, (bq, wp), 1
+        ).astype(jnp.float32)
+        for pi in range(p):
+            xq = x_ref[0, :, lvl * p + pi][:, None]       # (BQ, 1)
+            dxx = xq - jj
+            txx_ref[pi * bq : (pi + 1) * bq, :] = jnp.maximum(
+                0.0, 1.0 - jnp.abs(dxx)
+            ).astype(ct)
+            txx_ref[(p + pi) * bq : (p + pi + 1) * bq, :] = jnp.where(
+                jnp.abs(dxx) < 1.0, -jnp.sign(dxx), 0.0
+            ).astype(ct)
+        txx = txx_ref[:]
+
+        # hoisted y table: DYL[pi*BQ+q, ri*ch+c] = y_qpi - ri.  Built via
+        # sublane-offset scratch writes like txx — Mosaic cannot
+        # concatenate (BQ, 1) lane-slices with mismatched offsets.
+        for pi in range(p):
+            dyl_ref[pi * bq : (pi + 1) * bq, :] = (
+                y_ref[0, :, lvl * p + pi][:, None] - lane_ri
+            )
+        dyl = dyl_ref[:]                                  # (P*BQ, rr*ch)
+
+        lo = bounds_ref[0, 0, lvl, 0]
+        hi = bounds_ref[0, 0, lvl, 1]
+
+        def body(rb, carry, dyl=dyl, txx=txx, lvl=lvl):
+            acc_s, acc_y, acc_x = carry
+            vblk = v_refs[lvl][0, rb].astype(ct)          # (wp, rr*ch)
+            ddp = jnp.dot(
+                txx, vblk, preferred_element_type=jnp.float32,
+                precision=prec,
+            )                                             # (2P*BQ, rr*ch)
+            dy_t = dyl - (rb * rr).astype(jnp.float32)
+            ady = jnp.abs(dy_t)
+            ty = jnp.maximum(0.0, 1.0 - ady)
+            typ = jnp.where(ady < 1.0, -jnp.sign(dy_t), 0.0)
+            d, dp = ddp[: p * bq], ddp[p * bq :]
+            return (acc_s + ty * d, acc_y + typ * d, acc_x + ty * dp)
+
+        zero = jnp.zeros((p * bq, rrch), jnp.float32)
+        acc_s, acc_y, acc_x = jax.lax.fori_loop(
+            lo, hi, body, (zero, zero, zero), unroll=False
+        )
+
+        # finalize: the lane-tiled g4 contraction sums over BOTH ch and ri
+        for pi in range(p):
+            aq = a_ref[0, :, lvl * p + pi]
+            blk = slice(pi * bq, (pi + 1) * bq)
+            s_da[lvl * p + pi] = jnp.sum(acc_s[blk] * g4, axis=1)
+            s_dy[lvl * p + pi] = aq * jnp.sum(acc_y[blk] * g4, axis=1)
+            s_dx[lvl * p + pi] = aq * jnp.sum(acc_x[blk] * g4, axis=1)
+
+    da_ref[0] = s_da[:].astype(da_ref.dtype)
+    dy_ref[0] = s_dy[:].astype(dy_ref.dtype)
+    dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
                                              "interpret", "parts",
-                                             "dcoord_pack"))
+                                             "dcoord_pack", "dcoord_rr"))
 def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
                     rr: int = 4, interpret: bool = False,
-                    parts=("dvalue", "dcoord"), dcoord_pack: bool = False):
+                    parts=("dvalue", "dcoord"), dcoord_pack: bool = False,
+                    dcoord_rr: bool = True):
     # bq=128 (fwd uses 256): the x-first dCoord kernel's per-program live
     # set (stacked tent scratch, 3P fori-carried (BQ, ch) accumulators, the
     # merged (2P*BQ, ch) dot output — all lane-padded) scales with BQ and
@@ -1107,6 +1270,15 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
             value_t, y_all, spatial_shapes, nqb, bq, rr, value.dtype,
             pack=False,
         )
+    if dcoord_rr and not dcoord_pack:
+        # rr-on-lanes value layout (see _fused_dcoord_rr_kernel): per level
+        # (bn, hp/rr, wp, rr*ch) with V4[rb, j, ri*ch + c] = V[rb*rr+ri, j, c]
+        vc_pads = [
+            vp.reshape(bn, vp.shape[1] // rr, rr, vp.shape[2], ch)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(bn, vp.shape[1] // rr, vp.shape[2], rr * ch)
+            for vp in vc_pads
+        ]
 
     y_flat = y_all.reshape(bn, lqp, nl * p)
     x_flat = x_all.reshape(bn, lqp, nl * p)
@@ -1119,8 +1291,10 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
         z = jnp.zeros((bn, nl * p, lqp), jnp.float32)
         da, dy, dx = z, z, z
     else:
+        rr_lanes = dcoord_rr and not dcoord_pack
+        kern = _fused_dcoord_rr_kernel if rr_lanes else _fused_dcoord_kernel
         da, dy, dx = pl.pallas_call(
-            functools.partial(_fused_dcoord_kernel, levels=tuple(c_meta),
+            functools.partial(kern, levels=tuple(c_meta),
                               p=p, bq=bq, rr=rr, ct=ct),
             grid=(bn, nqb),
             in_specs=[
@@ -1129,7 +1303,7 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
                 coord_spec, coord_spec, coord_spec,
                 pl.BlockSpec((1, bq, ch), lambda b_, q: (b_, q, 0)),
             ] + [
-                pl.BlockSpec((1, vp.shape[1], vp.shape[2], ch),
+                pl.BlockSpec((1, vp.shape[1], vp.shape[2], vp.shape[3]),
                              lambda b_, q: (b_, 0, 0, 0))
                 for vp in vc_pads
             ],
@@ -1144,10 +1318,14 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
                 pltpu.VMEM((2 * p * bq, wp_l), ct)
                 for _, _, wp_l, _ in c_meta
             ] + (
-                # sval serves only PACKED levels (see kernel) — omit it
-                # otherwise: the kernel sits at the scoped-VMEM cliff
-                [pltpu.VMEM((3 * p, bq, ch), jnp.float32)]
-                if any(pk_ > 1 for _, _, _, pk_ in c_meta) else []
+                # rr kernel: the hoisted (P*BQ, rr*ch) DYL table scratch.
+                # x-first kernel: sval serves only PACKED levels (see
+                # kernel) — omit it otherwise: the scoped-VMEM cliff.
+                [pltpu.VMEM((p * bq, rr * ch), jnp.float32)] if rr_lanes
+                else (
+                    [pltpu.VMEM((3 * p, bq, ch), jnp.float32)]
+                    if any(pk_ > 1 for _, _, _, pk_ in c_meta) else []
+                )
             ) + [
                 pltpu.VMEM((nl * p, bq), jnp.float32),
                 pltpu.VMEM((nl * p, bq), jnp.float32),
@@ -1452,7 +1630,8 @@ def ms_deform_attn_pallas_fwd(
         )
         if vmem <= 12 * 1024 * 1024:
             return _msda_fused(value, sampling_locations, attention_weights,
-                               tuple(tuple(s) for s in spatial_shapes))
+                               tuple(tuple(s) for s in spatial_shapes),
+                               rr_lanes=True)
         level_impl = _sample_level_pallas_v2
 
     b, len_in, nh, ch = value.shape

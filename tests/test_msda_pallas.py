@@ -114,6 +114,26 @@ def test_fused_matches_per_level_v2(seed):
     np.testing.assert_allclose(out, xla, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("pack", [True, False])
+def test_fused_rr_lanes_matches_xla(pack):
+    """rr-on-lanes forward (value pre-laid-out (hp/rr, wp, rr*ch), one dot
+    per block on full lanes) must match XLA; with pack=True the packed
+    narrow levels keep the x-first path (mixed kernel)."""
+    rng = np.random.RandomState(23)
+    shapes = ((9, 70), (6, 10), (3, 5))  # w=70 unpacked; two packed levels
+    L = sum(h * w for h, w in shapes)
+    B, NH, CH, P, LQ = 2, 2, 32, 4, 300
+    value = jnp.asarray(rng.randn(B, L, NH, CH).astype(np.float32))
+    loc = jnp.asarray((rng.rand(B, LQ, NH, 3, P, 2) * 1.3 - 0.15)
+                      .astype(np.float32))
+    attn = jnp.asarray(rng.rand(B, LQ, NH, 3, P).astype(np.float32))
+    out = np.asarray(MP._msda_fused(
+        value, loc, attn, shapes, pack=pack, rr_lanes=True
+    ))
+    xla = np.asarray(ms_deform_attn_xla(value, shapes, loc, attn))
+    np.testing.assert_allclose(out, xla, rtol=1e-4, atol=1e-5)
+
+
 def test_row_block_bounds_cover_flags():
     """[lo, hi) must contain every flagged row block (undershoot would drop
     tent mass; overshoot only wastes compute)."""

@@ -80,19 +80,22 @@ def main():
                       "ms_1": round(t1, 2)}), flush=True)
 
     for bq, rr in combos:
-        def fused(v, loc, attn, bq=bq, rr=rr):
-            return MP._msda_fused(v, loc, attn, LEVELS, bq=bq, rr=rr)
+        for rl in (False, True):
+            def fused(v, loc, attn, bq=bq, rr=rr, rl=rl):
+                return MP._msda_fused(v, loc, attn, LEVELS, bq=bq, rr=rr,
+                                      rr_lanes=rl)
 
-        try:
-            t1 = chain(1, fused)
-            t4 = chain(4, fused)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"impl": f"fused_bq{bq}_rr{rr}",
-                              "error": str(e)[:200]}), flush=True)
-            continue
-        print(json.dumps({"impl": f"fused_bq{bq}_rr{rr}",
-                          "ms_marginal": round((t4 - t1) / 3, 2),
-                          "ms_1": round(t1, 2)}), flush=True)
+            tag = f"fused_bq{bq}_rr{rr}" + ("_rrlanes" if rl else "")
+            try:
+                t1 = chain(1, fused)
+                t4 = chain(4, fused)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"impl": tag, "error": str(e)[:200]}),
+                      flush=True)
+                continue
+            print(json.dumps({"impl": tag,
+                              "ms_marginal": round((t4 - t1) / 3, 2),
+                              "ms_1": round(t1, 2)}), flush=True)
 
 
 if __name__ == "__main__":
