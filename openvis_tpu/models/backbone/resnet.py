@@ -31,7 +31,14 @@ class FrozenAffine(nn.Module):
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return x * scale + bias
+        # fp32 affine arithmetic, result back in x.dtype: under AMP the
+        # scale/bias stay f32 masters (autocast norm policy) — without the
+        # cast-back they'd promote every downstream conv to f32 (see
+        # models/amp.py)
+        y = x.astype(jnp.float32) * scale.astype(jnp.float32) + bias.astype(
+            jnp.float32
+        )
+        return y.astype(x.dtype)
 
 
 class Bottleneck(nn.Module):

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from openvis_tpu.models.amp import amp_norm, softmax_f32
+
 
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
     """(B, H, W, C) -> (B*nW, ws*ws, C); H, W divisible by ws."""
@@ -89,7 +91,7 @@ class WindowAttention(nn.Module):
                 None, :, None
             ].astype(attn.dtype)
             attn = attn.reshape(bnw, h, n, n)
-        attn = jax.nn.softmax(attn, axis=-1)
+        attn = softmax_f32(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(bnw, n, c)
         return nn.Dense(c, name="proj")(out)
 
@@ -119,7 +121,7 @@ class SwinBlock(nn.Module):
             return y * mask.astype(y.dtype) / keep
 
         shortcut = x
-        y = nn.LayerNorm(name="norm1")(x)
+        y = amp_norm(nn.LayerNorm(name="norm1"), x)
         y = jnp.pad(y, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
         mask = None
         if self.shift > 0:
@@ -135,7 +137,7 @@ class SwinBlock(nn.Module):
         y = y[:, :h, :w]
         x = shortcut + drop_path(y)
 
-        y = nn.LayerNorm(name="norm2")(x)
+        y = amp_norm(nn.LayerNorm(name="norm2"), x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), name="mlp_fc1")(y)
         # exact (erf) GELU: torch nn.GELU default; flax's default is the
         # tanh approximation, which would drift from pretrained weights
@@ -157,7 +159,7 @@ class PatchMerging(nn.Module):
             [x[:, :, 0, :, 0], x[:, :, 1, :, 0], x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
             axis=-1,
         )
-        x = nn.LayerNorm(name="norm")(x)
+        x = amp_norm(nn.LayerNorm(name="norm"), x)
         return nn.Dense(2 * self.dim, use_bias=False, name="reduction")(x)
 
 
@@ -182,7 +184,7 @@ class SwinTransformer(nn.Module):
             strides=(self.patch_size,) * 2, name="patch_embed",
         )(x)
         if self.patch_norm:
-            x = nn.LayerNorm(name="patch_norm")(x)
+            x = amp_norm(nn.LayerNorm(name="patch_norm"), x)
         if self.ape:
             # absolute position embedding, torch-exact bicubic-resized from
             # the pretraining patch grid to the current feature grid
@@ -217,7 +219,7 @@ class SwinTransformer(nn.Module):
             cur += depth
             name = f"res{si + 2}"
             if name in self.out_features:
-                outs[name] = nn.LayerNorm(name=f"out_norm{si}")(x)
+                outs[name] = amp_norm(nn.LayerNorm(name=f"out_norm{si}"), x)
             if si < len(self.depths) - 1:
                 x = PatchMerging(dim, name=f"downsample{si}")(x)
                 dim *= 2

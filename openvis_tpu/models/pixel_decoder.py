@@ -27,6 +27,7 @@ import numpy as np
 from flax import linen as nn
 
 from openvis_tpu.models.position_encoding import position_encoding_2d
+from openvis_tpu.models.amp import amp_norm, softmax_f32
 from openvis_tpu.ops.msda import ms_deform_attn
 from openvis_tpu.utils.image import resize_bilinear_torch
 
@@ -82,13 +83,18 @@ class MSDeformAttnModule(nn.Module):
             bias_init=nn.initializers.zeros,
             name="attention_weights",
         )(query).reshape(b, lq, nh, nl * p)
-        attn = jax.nn.softmax(attn, axis=-1).reshape(b, lq, nh, nl, p)
+        attn = softmax_f32(attn, axis=-1).reshape(b, lq, nh, nl, p)
 
-        # offsets normalized by each level's (W, H)
+        # offsets normalized by each level's (W, H).  Sampling LOCATIONS are
+        # always f32: a bf16 coordinate is only ~8 mantissa bits (~2px error
+        # at W=864) and torch autocast keeps them f32 too (bf16 linear
+        # output + f32 reference points promote; grid_sample is pinned f32).
+        offsets = offsets.astype(jnp.float32)
         normalizer = jnp.asarray(
-            [[w, h] for (h, w) in spatial_shapes], dtype=offsets.dtype
+            [[w, h] for (h, w) in spatial_shapes], dtype=jnp.float32
         )  # (nl, 2)
-        loc = reference_points[:, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
+        ref = reference_points.astype(jnp.float32)
+        loc = ref[:, :, None, :, None, :] + offsets / normalizer[None, None, None, :, None, :]
         out = ms_deform_attn(value, spatial_shapes, loc, attn)
         return nn.Dense(self.d_model, name="output_proj")(out)
 
@@ -105,10 +111,10 @@ class MSDeformAttnEncoderLayer(nn.Module):
         attn_out = MSDeformAttnModule(
             self.d_model, self.n_levels, self.n_heads, self.n_points, name="self_attn"
         )(src + pos, reference_points, src, spatial_shapes)
-        src = nn.LayerNorm(name="norm1")(src + attn_out)
+        src = amp_norm(nn.LayerNorm(name="norm1"), src + attn_out)
         ff = nn.Dense(self.d_ffn, name="linear1")(src)
         ff = nn.Dense(self.d_model, name="linear2")(nn.relu(ff))
-        return nn.LayerNorm(name="norm2")(src + ff)
+        return amp_norm(nn.LayerNorm(name="norm2"), src + ff)
 
 
 def encoder_reference_points(spatial_shapes, dtype=jnp.float32) -> jnp.ndarray:
@@ -136,7 +142,9 @@ class MSDeformAttnEncoder(nn.Module):
     @nn.compact
     def __call__(self, src, pos, spatial_shapes):
         b = src.shape[0]
-        ref = encoder_reference_points(spatial_shapes, src.dtype)
+        # reference points stay f32 regardless of the AMP compute dtype —
+        # they are sampling coordinates (see MSDeformAttnModule)
+        ref = encoder_reference_points(spatial_shapes, jnp.float32)
         ref = jnp.broadcast_to(ref[None], (b, *ref.shape))
         for i in range(self.num_layers):
             src = MSDeformAttnEncoderLayer(
@@ -206,14 +214,14 @@ class BasePixelDecoder(nn.Module):
             else:
                 lat = nn.Conv(self.conv_dim, (1, 1), use_bias=False,
                               name=f"adapter{idx}_conv")(x)
-                lat = nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm")(lat)
+                lat = amp_norm(nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm"), lat)
                 if y is None:
                     y = lat
                 else:
                     y = lat + resize_bilinear(y, (x.shape[1], x.shape[2]))
             z = nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=False,
                         name=f"layer{idx}_conv")(y)
-            z = nn.GroupNorm(num_groups=32, name=f"layer{idx}_norm")(z)
+            z = amp_norm(nn.GroupNorm(num_groups=32, name=f"layer{idx}_norm"), z)
             y = nn.relu(z)
             outs.append(y)
         mask_features = nn.Conv(self.mask_dim, (1, 1), name="mask_features")(outs[-1])
@@ -249,10 +257,10 @@ class DETRTransformerEncoderLayer(nn.Module):
             )
 
         if self.pre_norm:
-            src = src + attn(nn.LayerNorm(name="norm1")(src))
-            return src + ffn(nn.LayerNorm(name="norm2")(src))
-        src = nn.LayerNorm(name="norm1")(src + attn(src))
-        return nn.LayerNorm(name="norm2")(src + ffn(src))
+            src = src + attn(amp_norm(nn.LayerNorm(name="norm1"), src))
+            return src + ffn(amp_norm(nn.LayerNorm(name="norm2"), src))
+        src = amp_norm(nn.LayerNorm(name="norm1"), src + attn(src))
+        return amp_norm(nn.LayerNorm(name="norm2"), src + ffn(src))
 
 
 class DETRTransformerDecoderLayer(nn.Module):
@@ -289,12 +297,12 @@ class DETRTransformerDecoderLayer(nn.Module):
             )
 
         if self.pre_norm:
-            tgt = tgt + sattn(nn.LayerNorm(name="norm1")(tgt))
-            tgt = tgt + cattn(nn.LayerNorm(name="norm2")(tgt))
-            return tgt + ffn(nn.LayerNorm(name="norm3")(tgt))
-        tgt = nn.LayerNorm(name="norm1")(tgt + sattn(tgt))
-        tgt = nn.LayerNorm(name="norm2")(tgt + cattn(tgt))
-        return nn.LayerNorm(name="norm3")(tgt + ffn(tgt))
+            tgt = tgt + sattn(amp_norm(nn.LayerNorm(name="norm1"), tgt))
+            tgt = tgt + cattn(amp_norm(nn.LayerNorm(name="norm2"), tgt))
+            return tgt + ffn(amp_norm(nn.LayerNorm(name="norm3"), tgt))
+        tgt = amp_norm(nn.LayerNorm(name="norm1"), tgt + sattn(tgt))
+        tgt = amp_norm(nn.LayerNorm(name="norm2"), tgt + cattn(tgt))
+        return amp_norm(nn.LayerNorm(name="norm3"), tgt + ffn(tgt))
 
 
 class DETRTransformer(nn.Module):
@@ -332,7 +340,7 @@ class DETRTransformer(nn.Module):
                 self.pre_norm, self.activation, name=f"encoder_layer{i}",
             )(x, pos)
         if self.pre_norm:
-            x = nn.LayerNorm(name="encoder_norm")(x)
+            x = amp_norm(nn.LayerNorm(name="encoder_norm"), x)
         memory = x
 
         q = query_embed.shape[0]
@@ -347,7 +355,7 @@ class DETRTransformer(nn.Module):
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.pre_norm, self.activation, name=f"decoder_layer{i}",
             )(tgt, memory, pos, qpos)
-            inter.append(decoder_norm(tgt))
+            inter.append(amp_norm(decoder_norm, tgt))
         hs = jnp.stack(inter, axis=0)                     # (L, B, Q, C)
         return hs, memory.reshape(b, h, w, c)
 
@@ -386,7 +394,7 @@ class MSDeformAttnPixelDecoder(nn.Module):
             x = features[f]
             h, w = x.shape[1], x.shape[2]
             s = nn.Conv(self.conv_dim, (1, 1), name=f"input_proj{idx}_conv")(x)
-            s = nn.GroupNorm(num_groups=32, name=f"input_proj{idx}_norm")(s)
+            s = amp_norm(nn.GroupNorm(num_groups=32, name=f"input_proj{idx}_norm"), s)
             if extra_features is not None:
                 ex = extra_features[idx]
                 if ex.shape[1:3] != (h, w):
@@ -416,11 +424,11 @@ class MSDeformAttnPixelDecoder(nn.Module):
         for idx, f in enumerate(fpn_features):
             x = features[f]
             lat = nn.Conv(self.conv_dim, (1, 1), use_bias=False, name=f"adapter{idx}_conv")(x)
-            lat = nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm")(lat)
+            lat = amp_norm(nn.GroupNorm(num_groups=32, name=f"adapter{idx}_norm"), lat)
             topdown = resize_bilinear(outs[-1], (x.shape[1], x.shape[2]))
             z = lat + topdown
             z = nn.Conv(self.conv_dim, (3, 3), padding=1, use_bias=False, name=f"layer{idx}_conv")(z)
-            z = nn.GroupNorm(num_groups=32, name=f"layer{idx}_norm")(z)
+            z = amp_norm(nn.GroupNorm(num_groups=32, name=f"layer{idx}_norm"), z)
             outs.append(nn.relu(z))
 
         mask_features = nn.Conv(self.mask_dim, (1, 1), name="mask_features")(outs[-1])

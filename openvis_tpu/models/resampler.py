@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from openvis_tpu.models.amp import amp_norm
+
 from openvis_tpu.models.transformer_decoder import (
     CrossAttentionLayer,
     FFNLayer,
@@ -86,18 +88,18 @@ class TemporalResampler(nn.Module):
         for i in range(self.nlayers):
             # long: post-norm self-attn over T (resampler.py:262-266)
             attn = self.longs[i](x, x, x)
-            x = self.long_norms[i](x + attn)
+            x = amp_norm(self.long_norms[i], x + attn)
             # short: replicate-pad conv1d k5 -> relu -> k3, residual
             y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
             y = self.short_conv1s[i](y)
             y = nn.relu(y)
             y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
             y = self.short_conv2s[i](y)
-            x = self.agg_norms[i](y + x)
+            x = amp_norm(self.agg_norms[i], y + x)
             x = self.ffns[i](x)
             layer_outputs.append(x)
         stacked = jnp.stack(layer_outputs)  # (L+1, B*Q, T, C)
-        return self.decode_norm(stacked), (b, t, q, c)
+        return amp_norm(self.decode_norm, stacked), (b, t, q, c)
 
     def final_embeds(self, frame_embeds: jax.Array) -> jax.Array:
         """Temporal transform only: (B, T, Q, C) -> final-layer normed
@@ -233,13 +235,13 @@ class DecoupledTemporalResampler(nn.Module):
         tgt_layers = [tgt]
         for i in range(self.nlayers):
             attn = self.longs[i](x, x, x)
-            x = self.long_norms[i](x + attn)
+            x = amp_norm(self.long_norms[i], x + attn)
             y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
             y = self.short_conv1s[i](y)
             y = nn.relu(y)
             y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
             y = self.short_conv2s[i](y)
-            x = self.agg_norms[i](y + x)
+            x = amp_norm(self.agg_norms[i], y + x)
             x = self.ffns[i](x)
             # per-frame memory: each frame's q refined embeds (B*T, Q, C)
             mem = jnp.transpose(
@@ -250,7 +252,7 @@ class DecoupledTemporalResampler(nn.Module):
             tgt = self.tgt_ffns[i](tgt)
             tgt_layers.append(tgt)
 
-        stacked = self.decode_norm(jnp.stack(tgt_layers))  # (L+1, B*T, Q, C)
+        stacked = amp_norm(self.decode_norm, jnp.stack(tgt_layers))  # (L+1, B*T, Q, C)
         l1 = stacked.shape[0]
         me = self.mask_embed_mlp(stacked)
         ae = self.attn_embed_mlp(stacked)
@@ -333,13 +335,13 @@ class RawTemporalResampler(nn.Module):
         layer_outputs = [per_frame0]
         for i in range(self.nlayers):
             attn = self.longs[i](x, x, x)
-            x = self.long_norms[i](x + attn)
+            x = amp_norm(self.long_norms[i], x + attn)
             y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
             y = self.short_conv1s[i](y)
             y = nn.relu(y)
             y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
             y = self.short_conv2s[i](y)
-            x = self.agg_norms[i](y + x)
+            x = amp_norm(self.agg_norms[i], y + x)
             # per-frame cross-attn into pixel features at level i % 3
             pf = jnp.transpose(
                 x.reshape(b, q, t, c), (0, 2, 1, 3)
@@ -355,7 +357,7 @@ class RawTemporalResampler(nn.Module):
                 pf.reshape(b, t, q, c), (0, 2, 1, 3)
             ).reshape(b * q, t, c)
 
-        stacked = self.decode_norm(jnp.stack(layer_outputs))  # (L+1, B*T, Q, C)
+        stacked = amp_norm(self.decode_norm, jnp.stack(layer_outputs))  # (L+1, B*T, Q, C)
         l1 = stacked.shape[0]
         me = self.mask_embed_mlp(stacked)
         ae = self.attn_embed_mlp(stacked)

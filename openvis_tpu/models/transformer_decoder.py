@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from openvis_tpu.models.amp import amp_norm, softmax_f32
 from openvis_tpu.models.position_encoding import (
     position_encoding_2d,
     position_encoding_3d,
@@ -85,7 +86,9 @@ class MultiheadAttention(nn.Module):
         )
         if attn_bias is not None:
             logits = logits + attn_bias
-        attn = jax.nn.softmax(logits, axis=-1)
+        # f32 softmax (autocast policy); cast to the value dtype so an f32
+        # attn_bias can't promote the value einsum (and everything after)
+        attn = softmax_f32(logits, axis=-1).astype(vp.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp).reshape(b, lq, d)
         return nn.Dense(d, name="out_proj")(out)
 
@@ -106,8 +109,8 @@ class SelfAttentionLayer(nn.Module):
             )
 
         if self.pre_norm:
-            return tgt + attn(nn.LayerNorm(name="norm")(tgt))
-        return nn.LayerNorm(name="norm")(tgt + attn(tgt))
+            return tgt + attn(amp_norm(nn.LayerNorm(name="norm"), tgt))
+        return amp_norm(nn.LayerNorm(name="norm"), tgt + attn(tgt))
 
 
 class CrossAttentionLayer(nn.Module):
@@ -125,8 +128,8 @@ class CrossAttentionLayer(nn.Module):
             )
 
         if self.pre_norm:
-            return tgt + attn(nn.LayerNorm(name="norm")(tgt))
-        return nn.LayerNorm(name="norm")(tgt + attn(tgt))
+            return tgt + attn(amp_norm(nn.LayerNorm(name="norm"), tgt))
+        return amp_norm(nn.LayerNorm(name="norm"), tgt + attn(tgt))
 
 
 class FFNLayer(nn.Module):
@@ -144,8 +147,8 @@ class FFNLayer(nn.Module):
             )
 
         if self.pre_norm:
-            return tgt + ff(nn.LayerNorm(name="norm")(tgt))
-        return nn.LayerNorm(name="norm")(tgt + ff(tgt))
+            return tgt + ff(amp_norm(nn.LayerNorm(name="norm"), tgt))
+        return amp_norm(nn.LayerNorm(name="norm"), tgt + ff(tgt))
 
 
 def _resize_mask(m: jax.Array, size: Tuple[int, int]) -> jax.Array:
@@ -190,7 +193,7 @@ class PredictionHeads(nn.Module):
 
     @nn.compact
     def __call__(self, output, mask_features, video: bool, attn_features=None):
-        x = nn.LayerNorm(name="decoder_norm")(output)  # (B, Q, C)
+        x = amp_norm(nn.LayerNorm(name="decoder_norm"), output)  # (B, Q, C)
         if self.head == "class":
             logits = nn.Dense(self.num_classes + 1, name="class_embed")(x)
         elif self.head == "embedding":
