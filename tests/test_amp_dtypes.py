@@ -50,11 +50,20 @@ def _flat_intermediates(inter):
     return flat
 
 
-@pytest.mark.parametrize("backbone", ["resnet", "swin"])
+@pytest.mark.parametrize("backbone", ["resnet", "swin", "san"])
 def test_amp_forward_stays_bf16(backbone):
     K, D = 7, 512
     cfg = Config()
     mc = dataclasses.replace(cfg.model, num_classes=K)
+    if backbone == "san":
+        # flagship OV arch: side adapter + split CLIP tower path
+        mc = dataclasses.replace(
+            mc,
+            meta_architecture="SANOnline",
+            transformer_decoder=dataclasses.replace(
+                mc.transformer_decoder, name="side_adapter_frame"
+            ),
+        )
     if backbone == "swin":
         mc = dataclasses.replace(
             mc,
@@ -83,7 +92,9 @@ def test_amp_forward_stays_bf16(backbone):
     offenders = {
         k: str(dt)
         for k, dt in flat.items()
-        if dt == jnp.float32 and "norm" not in k.lower()
+        if dt == jnp.float32
+        and "norm" not in k.lower()
+        and "/ln" not in k.lower()  # CLIP LayerNormF32 wrappers (ln_pre, ...)
     }
     assert not offenders, f"f32 promotion leaked: {offenders}"
     # the mask stack itself must be bf16 (the criterion scan relies on it)
