@@ -194,19 +194,21 @@ def build_clip_visual(cfg: Config):
         (``third_parties/mask_adapted_clip/.../model.py:288-363``) ->
         ``visual_apply(imgs, soft_masks_or_None)``.
 
-    Returns ``(visual_apply, adapted)``.  Weights come from the converted
-    msgpack at ``clip_adapter.weights``; a plain OpenAI conversion grafts
+    Returns ``(visual_apply, adapted)``.  ``clip_adapter.weights`` may be a
+    converted msgpack, a torch ``.pt``, an OpenAI model name, or a URL
+    (rank-0 fetch + barrier, ``models/clip/build.py``); a plain OpenAI
+    conversion grafts
     into the adapted tower with a zero ``mask_embedding`` — exactly the
     reference's ``torch.zeros`` init (``model.py:325``)."""
     from openvis_tpu.models.clip.model import (
         CLIPVisionTransformer,
         _MODEL_SHAPES,
     )
-    from tools.convert_weights import load_msgpack
+    from openvis_tpu.models.clip.build import build_clip_params
 
     ca = cfg.model.clip_adapter
     shape = _MODEL_SHAPES[ca.clip_model_name]
-    vtree = load_msgpack(ca.weights)["visual"]
+    vtree = build_clip_params(ca.weights)["visual"]
     if isinstance(shape["vision_layers"], tuple):
         # ModifiedResNet tower (RN50/RN101): the mask routes into the
         # attention pool's key padding — one module serves both the plain

@@ -48,12 +48,24 @@ def parse_args():
     return p.parse_args()
 
 
+def load_clip_tree(ca):
+    """Resolve ``clip_adapter.weights`` to the converted CLIP param pytree.
+
+    Accepts a pre-converted ``.msgpack``, a local torch ``.pt``, an OpenAI
+    model name ("ViT-B/16"), or a URL — the latter three route through the
+    rank-0-fetch-then-barrier loader (reference ``build_clip_model``,
+    ``clip_adapter/utils.py:69-81``).
+    """
+    from openvis_tpu.models.clip.build import build_clip_params
+
+    return build_clip_params(ca.weights)
+
+
 def build_text_bank(cfg):
     from openvis_tpu.models.clip.model import CLIPTextEncoder, _MODEL_SHAPES
     from openvis_tpu.models.clip.prompts import get_templates
     from openvis_tpu.models.clip.text_bank import TextEmbeddingBank
     from openvis_tpu.models.clip.tokenizer import SimpleTokenizer
-    from tools.convert_weights import load_msgpack
 
     ca = cfg.model.clip_adapter
     shape = _MODEL_SHAPES[ca.clip_model_name]
@@ -66,9 +78,10 @@ def build_text_bank(cfg):
     if not ca.weights:
         raise SystemExit(
             "model.clip_adapter.weights must point to a converted CLIP "
-            "msgpack (tools/convert_weights.py clip ...)"
+            "msgpack (tools/convert_weights.py clip ...), a torch .pt "
+            "checkpoint, or an OpenAI model name (e.g. ViT-B/16)"
         )
-    tree = load_msgpack(ca.weights)
+    tree = load_clip_tree(ca)
     tokenizer = SimpleTokenizer(ca.bpe_vocab)
     templates = get_templates(ca.prompt_name, ca.predefined_templates)
     return TextEmbeddingBank(enc, tree["text"], tokenizer, templates)
@@ -186,9 +199,7 @@ def main():
         params = merge_pretrained(params, pre, subtree="segmenter")
         logger.info("loaded pretrained segmenter init from %s", cfg.model.weights)
     if cfg.model.clip_adapter.weights and "clip_adapter" in params:
-        from tools.convert_weights import load_msgpack
-
-        clip_tree = load_msgpack(cfg.model.clip_adapter.weights)
+        clip_tree = load_clip_tree(cfg.model.clip_adapter)
         params["clip_adapter"] = merge_pretrained(
             params["clip_adapter"], {"visual": clip_tree["visual"]}
         )
