@@ -82,7 +82,8 @@ class TransformerDecoderConfig:
     pre_norm: bool = False
     mask_dim: int = 256
     enforce_input_project: bool = False
-    num_feature_levels: int = 3
+    # NOTE: no num_feature_levels knob — the reference decoder hardcodes 3
+    # (video_mask2former_transformer_decoder.py:336), and so do we.
     clip_embed_dim: int = 512         # for embedding decoders (CLIP text space)
 
 
@@ -164,8 +165,9 @@ class TestConfig:
     # train_net.py:241-242): f32 params/frames/text cast to bf16 for the
     # whole eval path; mask logits return to f32 at the host boundary
     amp: bool = True
-    object_mask_threshold: float = 0.0
-    overlap_threshold: float = 0.0
+    # NOTE: the reference's OBJECT_MASK_THRESHOLD / OVERLAP_THRESHOLD are
+    # image-panoptic knobs its video inference assigns but never reads
+    # (video_maskformer.py:36-37 / ov2seg.py:590-591) — omitted here.
     topk_per_video: int = 10
     max_frames: int = 128             # pad/bucket bound for eval videos (static shapes)
     # [[dataset, metric, expected, tolerance], ...] checked after evaluation
@@ -261,12 +263,14 @@ class DatasetsConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """Mesh layout. The reference is DDP-only (SURVEY §2.6); we expose a full
-    (data, time) mesh: batch sharded over `data`, frame axis optionally sharded
-    over `time` for window/per-frame stacks."""
+    """Mesh layout (``parallel/mesh.make_mesh``). The reference is DDP-only
+    (SURVEY §2.6); we expose a (data, time) mesh: the train batch and the
+    eval window-group axis shard over EVERY mesh axis, so ``time_axis > 1``
+    places consecutive windows of one video on ICI-adjacent devices
+    (sequence parallelism at window granularity)."""
 
-    data_axis: int = -1               # -1 = all devices on data axis
-    time_axis: int = 1                # frame-axis sharding (sequence parallel over T)
+    data_axis: int = -1               # devices on the data axis; -1 = fill
+    time_axis: int = 1                # devices on the time (window) axis
 
 
 @dataclass(frozen=True)

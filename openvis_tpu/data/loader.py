@@ -193,7 +193,8 @@ def test_videos(cfg: Config, dataset_name: str):
     else:
         records = load_ytvis_records(info, root, is_train=False)
     mapper = YTVISClipMapper(
-        info, cfg.input, cfg.model.pixel_mean, cfg.model.pixel_std, is_train=False
+        info, cfg.input, cfg.model.pixel_mean, cfg.model.pixel_std,
+        is_train=False, size_divisibility=cfg.model.size_divisibility,
     )
     rng = np.random.RandomState(0)
     for rec in records:

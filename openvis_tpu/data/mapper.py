@@ -186,12 +186,16 @@ def _pad_sample(
     frame_valid: np.ndarray,     # (N_real, T)
     inp: InputConfig,
     pixel_mean, pixel_std,
+    div: int = 0,
 ) -> Dict[str, np.ndarray]:
     t = len(frames)
     h, w = frames[0].shape[:2]
     ph, pw = inp.pad_size if h <= w else (inp.pad_size[1], inp.pad_size[0])
     ph, pw = max(ph, h), max(pw, w)
-    div = inp.train_size_divisibility
+    # canvas rounding: train uses input.train_size_divisibility; eval mappers
+    # pass model.size_divisibility (the reference's ImageList padding knob,
+    # MODEL.MASK_FORMER.SIZE_DIVISIBILITY, video_maskformer.py:186-189)
+    div = div or inp.train_size_divisibility
     ph, pw = -(-ph // div) * div, -(-pw // div) * div
     n = inp.max_instances
 
@@ -229,12 +233,14 @@ class YTVISClipMapper:
         pixel_mean,
         pixel_std,
         is_train: bool = True,
+        size_divisibility: int = 0,
     ):
         self.info = info
         self.inp = inp
         self.is_train = is_train
         self.pixel_mean = pixel_mean
         self.pixel_std = pixel_std
+        self.size_divisibility = size_divisibility
         sizes = inp.min_size_train if is_train else (inp.min_size_test,)
         self.aug = ClipAugmenter(
             sizes,
@@ -245,6 +251,7 @@ class YTVISClipMapper:
             crop=is_train and inp.crop_enabled,
             crop_type=inp.crop_type,
             crop_size=inp.crop_size,
+            sampling=inp.min_size_train_sampling if is_train else "choice_by_clip",
         )
 
     def __call__(self, rng: np.random.RandomState, record: Dict) -> Dict:
@@ -297,7 +304,8 @@ class YTVISClipMapper:
             masks = np.zeros((0, len(idxs), *size), np.uint8)
 
         sample = _pad_sample(
-            frames, masks, labels, fv, self.inp, self.pixel_mean, self.pixel_std
+            frames, masks, labels, fv, self.inp, self.pixel_mean,
+            self.pixel_std, div=self.size_divisibility,
         )
         sample["orig_size"] = np.asarray([record["height"], record["width"]], np.int32)
         sample["video_id"] = record["video_id"]
@@ -326,6 +334,7 @@ class CocoClipMapper:
             flip=inp.random_flip != "none",
             augmentations=inp.pseudo_augmentations,
             is_train=True,
+            sampling=inp.min_size_train_sampling,
         )
 
     def __call__(self, rng: np.random.RandomState, record: Dict) -> Dict:

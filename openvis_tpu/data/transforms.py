@@ -158,7 +158,19 @@ class ClipAugmenter:
         crop_size: Tuple[int, int] = (600, 720),
         crop_prob: float = 0.5,
         crop_pre_sizes: Sequence[int] = (400, 500, 600),
+        sampling: str = "choice_by_clip",
     ):
+        # d2 ResizeShortestEdge sampling styles (the clip-consistent wrapper
+        # draws ONE size per clip either way — "choice_by_clip" is the
+        # reference's name for that, ytvis_dataset_mapper.py:310-318):
+        # choice/choice_by_clip pick from min_sizes, range draws uniformly in
+        # [min(min_sizes), max(min_sizes)].
+        if sampling not in ("choice", "choice_by_clip", "range"):
+            raise ValueError(
+                f"min_size_train_sampling={sampling!r}: expected 'choice', "
+                "'choice_by_clip', or 'range'"
+            )
+        self.sampling = sampling
         self.min_sizes = list(min_sizes)
         self.max_size = max_size
         self.flip = flip
@@ -209,9 +221,12 @@ class ClipAugmenter:
             crop_box = self._crop_box(rng, pre_size[0], pre_size[1])
             h, w = crop_box[2], crop_box[3]
 
-        # 2. main resize, choice by clip
+        # 2. main resize, one draw per clip (style per min_size_train_sampling)
         if self.is_train:
-            short = self.min_sizes[rng.randint(len(self.min_sizes))]
+            if self.sampling == "range":
+                short = rng.randint(min(self.min_sizes), max(self.min_sizes) + 1)
+            else:  # choice / choice_by_clip
+                short = self.min_sizes[rng.randint(len(self.min_sizes))]
         else:
             short = self.min_sizes[0]
         size = resize_shortest_edge_size(h, w, short, self.max_size)

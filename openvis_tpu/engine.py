@@ -92,13 +92,24 @@ def _emit(evaluator, video_id, topk_np, image_size, orig_size):
         evaluator.process(video_id, topk_np, image_size, orig_size)
 
 
+def window_size(cfg: Config) -> int:
+    """Effective inference window.  ``test.window_inference: false`` (the
+    reference's ``MODEL.MASK_FORMER.TEST.WINDOW_INFERENCE`` default,
+    ``openvis/config.py:117``; the shipped recipes set it true) evaluates
+    each video as ONE window — statically, a window of ``test.max_frames``
+    (videos longer than that would window regardless, our long-video
+    contract: no frame is dropped)."""
+    t = cfg.model.test
+    return t.window_size if t.window_inference else t.max_frames
+
+
 def make_window_fn(cfg: Config, model):
     """f(params, frames (G*W,H,Wd,3), text) -> per-window raw outputs with a
     leading window-batch axis G.  G > 1 is the eval-time mesh-sharding path
     (SURVEY §2.6): the per-frame stack is embarrassingly parallel over
     windows, so a group of G windows runs as one data-parallel batch."""
     arch = cfg.model.meta_architecture
-    window = cfg.model.test.window_size
+    window = window_size(cfg)
 
     def fn(params, frames, text_feats):
         out = model.apply({"params": params}, frames, window, text_feats)
@@ -461,7 +472,7 @@ def make_single_shot_window_fn(cfg: Config, model):
     across windows and divide by T (= the reference's full-video
     ``pred_logits.mean(dim=1)``, ``simplebsl.py:277``)."""
     arch = cfg.model.meta_architecture
-    window = cfg.model.test.window_size
+    window = window_size(cfg)
 
     def fn(params, frames, text_feats, frame_valid):
         out = model.apply({"params": params}, frames, window, text_feats)
@@ -519,7 +530,7 @@ def evaluate_dataset(
             evaluator, clip_visual_apply=clip_visual_apply,
         )
 
-    window = cfg.model.test.window_size
+    window = window_size(cfg)
     window_fn = jax.jit(make_window_fn(cfg, model))
     post_fn = jax.jit(make_postprocess_fn(cfg))
     openvis_score_fn = None
@@ -561,7 +572,10 @@ def evaluate_dataset(
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         ndev = int(mesh.devices.size)
-        shard = NamedSharding(mesh, P("data"))
+        # window groups shard over EVERY mesh axis — with a ("data", "time")
+        # mesh (parallel.time_axis > 1) consecutive windows of a video land
+        # on the time axis (sequence parallelism at window granularity)
+        shard = NamedSharding(mesh, P(tuple(mesh.axis_names)))
         repl = NamedSharding(mesh, P())
         params = jax.device_put(params, repl)
         text = jax.device_put(text, repl)
@@ -773,7 +787,7 @@ def _evaluate_brivis_windowed(
     per window again.  Resolves the reference's inconsistent windowed path
     (brivis.py:267-316 calls the Raw resampler's signature on the Temporal
     resampler; SURVEY §3.3) the way its data flow intends."""
-    window = cfg.model.test.window_size
+    window = window_size(cfg)
     topk = cfg.model.test.topk_per_video
     text = jnp.asarray(text_feats, eval_dtype(cfg))
 
@@ -890,7 +904,7 @@ def _evaluate_single_shot(
     )
     fn = jax.jit(make_single_shot_fn(cfg, model, pre_topk=ensemble))
     window_fn = jax.jit(make_single_shot_window_fn(cfg, model))
-    window = cfg.model.test.window_size
+    window = window_size(cfg)
     text = jnp.asarray(text_feats, eval_dtype(cfg))
     score_fn = text_crop = None
     crop_has_bg = False

@@ -113,7 +113,10 @@ class SwinBlock(nn.Module):
         pw = -(-w // ws) * ws
 
         def drop_path(y):
-            if self.drop_path == 0.0 or deterministic:
+            # stochastic depth is active exactly when the caller supplies a
+            # "dropout" rng stream (the train loss_fn does; eval/init/parity
+            # paths don't) — no train-flag threading through the meta-archs
+            if self.drop_path == 0.0 or not self.has_rng("dropout"):
                 return y
             keep = 1.0 - self.drop_path
             rng = self.make_rng("dropout")

@@ -66,6 +66,7 @@ class BriVISModel(nn.Module):
             feed_dim=cfg.transformer_decoder.dim_feedforward,
             nheads=cfg.transformer_decoder.nheads,
             nlayers=cfg.resampler.num_layers,
+            conv_kernels=tuple(cfg.resampler.conv_kernels),
             name="resampler",
         )
         if cfg.resampler.name == "decoupled":

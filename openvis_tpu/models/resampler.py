@@ -48,6 +48,7 @@ class TemporalResampler(nn.Module):
     feed_dim: int = 2048
     nheads: int = 8
     nlayers: int = 6
+    conv_kernels: Tuple[int, int] = (5, 3)  # short-term temporal conv widths
 
     def setup(self):
         n = self.nlayers
@@ -57,12 +58,12 @@ class TemporalResampler(nn.Module):
         ]
         self.long_norms = [nn.LayerNorm(name=f"long_norm{i}") for i in range(n)]
         self.short_conv1s = [
-            nn.Conv(self.hidden_dim, (5,), padding="VALID",
+            nn.Conv(self.hidden_dim, (self.conv_kernels[0],), padding="VALID",
                     name=f"short{i}_conv1")
             for i in range(n)
         ]
         self.short_conv2s = [
-            nn.Conv(self.hidden_dim, (3,), padding="VALID",
+            nn.Conv(self.hidden_dim, (self.conv_kernels[1],), padding="VALID",
                     name=f"short{i}_conv2")
             for i in range(n)
         ]
@@ -90,10 +91,12 @@ class TemporalResampler(nn.Module):
             attn = self.longs[i](x, x, x)
             x = amp_norm(self.long_norms[i], x + attn)
             # short: replicate-pad conv1d k5 -> relu -> k3, residual
-            y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+            k0 = self.conv_kernels[0] // 2
+            y = jnp.pad(x, ((0, 0), (k0, k0), (0, 0)), mode="edge")
             y = self.short_conv1s[i](y)
             y = nn.relu(y)
-            y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            k1 = self.conv_kernels[1] // 2
+            y = jnp.pad(y, ((0, 0), (k1, k1), (0, 0)), mode="edge")
             y = self.short_conv2s[i](y)
             x = amp_norm(self.agg_norms[i], y + x)
             x = self.ffns[i](x)
@@ -174,6 +177,7 @@ class DecoupledTemporalResampler(nn.Module):
     feed_dim: int = 2048
     nheads: int = 8
     nlayers: int = 6
+    conv_kernels: Tuple[int, int] = (5, 3)  # short-term temporal conv widths
     nqueries: int = 100
 
     def setup(self):
@@ -184,11 +188,11 @@ class DecoupledTemporalResampler(nn.Module):
         ]
         self.long_norms = [nn.LayerNorm(name=f"long_norm{i}") for i in range(n)]
         self.short_conv1s = [
-            nn.Conv(self.hidden_dim, (5,), padding="VALID",
+            nn.Conv(self.hidden_dim, (self.conv_kernels[0],), padding="VALID",
                     name=f"short{i}_conv1") for i in range(n)
         ]
         self.short_conv2s = [
-            nn.Conv(self.hidden_dim, (3,), padding="VALID",
+            nn.Conv(self.hidden_dim, (self.conv_kernels[1],), padding="VALID",
                     name=f"short{i}_conv2") for i in range(n)
         ]
         self.agg_norms = [nn.LayerNorm(name=f"agg_norm{i}") for i in range(n)]
@@ -236,10 +240,12 @@ class DecoupledTemporalResampler(nn.Module):
         for i in range(self.nlayers):
             attn = self.longs[i](x, x, x)
             x = amp_norm(self.long_norms[i], x + attn)
-            y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+            k0 = self.conv_kernels[0] // 2
+            y = jnp.pad(x, ((0, 0), (k0, k0), (0, 0)), mode="edge")
             y = self.short_conv1s[i](y)
             y = nn.relu(y)
-            y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            k1 = self.conv_kernels[1] // 2
+            y = jnp.pad(y, ((0, 0), (k1, k1), (0, 0)), mode="edge")
             y = self.short_conv2s[i](y)
             x = amp_norm(self.agg_norms[i], y + x)
             x = self.ffns[i](x)
@@ -286,6 +292,7 @@ class RawTemporalResampler(nn.Module):
     feed_dim: int = 2048
     nheads: int = 8
     nlayers: int = 6
+    conv_kernels: Tuple[int, int] = (5, 3)  # short-term temporal conv widths
 
     def setup(self):
         n = self.nlayers
@@ -295,11 +302,11 @@ class RawTemporalResampler(nn.Module):
         ]
         self.long_norms = [nn.LayerNorm(name=f"long_norm{i}") for i in range(n)]
         self.short_conv1s = [
-            nn.Conv(self.hidden_dim, (5,), padding="VALID",
+            nn.Conv(self.hidden_dim, (self.conv_kernels[0],), padding="VALID",
                     name=f"short{i}_conv1") for i in range(n)
         ]
         self.short_conv2s = [
-            nn.Conv(self.hidden_dim, (3,), padding="VALID",
+            nn.Conv(self.hidden_dim, (self.conv_kernels[1],), padding="VALID",
                     name=f"short{i}_conv2") for i in range(n)
         ]
         self.agg_norms = [nn.LayerNorm(name=f"agg_norm{i}") for i in range(n)]
@@ -336,10 +343,12 @@ class RawTemporalResampler(nn.Module):
         for i in range(self.nlayers):
             attn = self.longs[i](x, x, x)
             x = amp_norm(self.long_norms[i], x + attn)
-            y = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="edge")
+            k0 = self.conv_kernels[0] // 2
+            y = jnp.pad(x, ((0, 0), (k0, k0), (0, 0)), mode="edge")
             y = self.short_conv1s[i](y)
             y = nn.relu(y)
-            y = jnp.pad(y, ((0, 0), (1, 1), (0, 0)), mode="edge")
+            k1 = self.conv_kernels[1] // 2
+            y = jnp.pad(y, ((0, 0), (k1, k1), (0, 0)), mode="edge")
             y = self.short_conv2s[i](y)
             x = amp_norm(self.agg_norms[i], y + x)
             # per-frame cross-attn into pixel features at level i % 3

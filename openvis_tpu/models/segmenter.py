@@ -53,6 +53,9 @@ def build_backbone(cfg: ModelConfig) -> nn.Module:
             window_size=b.swin_window_size,
             mlp_ratio=b.swin_mlp_ratio,
             patch_size=b.swin_patch_size,
+            qkv_bias=b.swin_qkv_bias,
+            drop_path_rate=b.swin_drop_path_rate,
+            patch_norm=b.swin_patch_norm,
             ape=b.swin_ape,
             pretrain_img_size=b.swin_pretrain_img_size,
             out_features=tuple(b.out_features),

@@ -41,16 +41,37 @@ def init_distributed(
     jax.distributed.initialize(**kwargs)
 
 
-def make_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, time: int = 1) -> Mesh:
+    """1-D ``("data",)`` mesh, or — when ``time > 1``
+    (``ParallelConfig.time_axis``) — a 2-D ``("data", "time")`` mesh.  The
+    leading batch axis shards over EVERY mesh axis (``batch_spec``): at
+    train the time axis just folds into data-parallelism; at eval the
+    window-group axis rides it, so consecutive windows of one video land on
+    ICI-adjacent devices (sequence parallelism over the frame axis at
+    window granularity)."""
     devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), ("data",))
+    if time <= 1:
+        return Mesh(np.asarray(devices), ("data",))
+    if len(devices) % time:
+        raise ValueError(
+            f"{len(devices)} devices do not divide by parallel.time_axis={time}"
+        )
+    return Mesh(
+        np.asarray(devices).reshape(len(devices) // time, time),
+        ("data", "time"),
+    )
+
+
+def batch_spec(mesh: Mesh) -> P:
+    """PartitionSpec sharding the leading axis over all mesh axes."""
+    return P(tuple(mesh.axis_names))
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis over `data`."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch) axis over every mesh axis."""
+    return NamedSharding(mesh, batch_spec(mesh))
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())

@@ -51,7 +51,12 @@ def _backbone_stage(segment: str) -> Optional[int]:
 
 def label_params(params, freeze_prefixes=(), freeze_at: int = 0) -> Any:
     """Label each param: 'frozen' | 'backbone' | 'backbone_nodecay' |
-    'main' | 'nodecay'.  ``freeze_prefixes``: top-level subtree names whose
+    'backbone_embed' | 'main' | 'nodecay' | 'embed'.  Embedding-type params
+    (query/level/positional embeddings, class tokens, rel-pos tables) form
+    their own group so ``SOLVER.WEIGHT_DECAY_EMBED`` applies to them and
+    ``WEIGHT_DECAY_NORM`` to norms/biases, matching the reference's
+    per-module overrides (``train_net.py:150-176``).
+    ``freeze_prefixes``: top-level subtree names whose
     params get zero updates (BriVIS stage 2 freezes segmenter +
     clip_adapter, brivis.py:36-41).  ``freeze_at``: d2 ``BACKBONE.FREEZE_AT``
     — zero updates for the stem (1) and stages up to ``freeze_at``
@@ -75,19 +80,26 @@ def label_params(params, freeze_prefixes=(), freeze_at: int = 0) -> Any:
         # FrozenAffine params live under .../norm*/{scale,bias} in the backbone
         if in_backbone and frozen_affine:
             return "frozen"
-        nodecay = (
-            p.endswith("bias")
-            or "scale" in p.split("/")[-1]
-            or "embedding" in p
+        embed = (
+            "embedding" in p
             or "embed" in p.split("/")[-1]
             or p.split("/")[-1] in ("query_feat", "query_embed", "level_embed",
                                     "positional_embedding", "class_embedding",
-                                    "logit_scale", "non_object_embedding")
+                                    "logit_scale", "non_object_embedding",
+                                    "rel_pos_table", "ape")
+        )
+        nodecay = (
+            p.endswith("bias")
+            or "scale" in p.split("/")[-1]
             or "/ln" in p
             or "layernorm" in p
         )
         if in_backbone:
+            if embed:
+                return "backbone_embed"
             return "backbone_nodecay" if nodecay else "backbone"
+        if embed:
+            return "embed"
         return "nodecay" if nodecay else "main"
 
     return jax.tree_util.tree_map_with_path(label, params)
@@ -109,13 +121,23 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     s = cfg.solver
     lr = make_lr_schedule(cfg)
 
-    def adamw(mult: float, wd: float):
+    if s.optimizer.lower() not in ("adamw", "sgd"):
+        raise ValueError(
+            f"solver.optimizer={s.optimizer!r}: expected 'adamw' or 'sgd' "
+            "(reference build_optimizer, d2 SOLVER.OPTIMIZER)"
+        )
+
+    def group(mult: float, wd: float):
+        scale = optax.scale_by_learning_rate(lambda step: lr(step) * mult)
+        if s.optimizer.lower() == "sgd":
+            # d2 SGD: L2 decay folded into the gradient, momentum 0.9
+            return optax.chain(
+                optax.add_decayed_weights(wd), optax.trace(decay=0.9), scale
+            )
         return optax.chain(
             optax.scale_by_adam(b1=0.9, b2=0.999),
             optax.add_decayed_weights(wd),
-            optax.scale_by_learning_rate(
-                lambda step: lr(step) * mult
-            ),
+            scale,
         )
 
     freeze_prefixes = (
@@ -126,10 +148,12 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     )
     tx = optax.multi_transform(
         {
-            "main": adamw(1.0, s.weight_decay),
-            "nodecay": adamw(1.0, s.weight_decay_norm),
-            "backbone": adamw(s.backbone_multiplier, s.weight_decay),
-            "backbone_nodecay": adamw(s.backbone_multiplier, s.weight_decay_norm),
+            "main": group(1.0, s.weight_decay),
+            "nodecay": group(1.0, s.weight_decay_norm),
+            "embed": group(1.0, s.weight_decay_embed),
+            "backbone": group(s.backbone_multiplier, s.weight_decay),
+            "backbone_nodecay": group(s.backbone_multiplier, s.weight_decay_norm),
+            "backbone_embed": group(s.backbone_multiplier, s.weight_decay_embed),
             "frozen": optax.set_to_zero(),
         },
         labels,

@@ -136,7 +136,14 @@ def make_loss_fn(
                 return x.astype(jnp.bfloat16)
 
             apply_params = jax.tree_util.tree_map_with_path(cast, params)
-        out = model.apply({"params": apply_params}, frames, t, batch["text_feats"])
+        # split: criterion point-sampling draws stay decorrelated from the
+        # "dropout" stream (Swin stochastic depth activates iff this rng is
+        # supplied — see backbone/swin.py drop_path)
+        rng, drop_rng = jax.random.split(rng)
+        out = model.apply(
+            {"params": apply_params}, frames, t, batch["text_feats"],
+            rngs={"dropout": drop_rng},
+        )
         # losses run in f32, but the LAYER-STACKED mask logits stay bf16 in
         # HBM: set_criterion's scan upcasts each layer's slice right after
         # reading it (exact — bf16->f32 is lossless), halving the dominant

@@ -146,8 +146,17 @@ def main():
                 f"solver.ims_per_batch={cfg.solver.ims_per_batch} must be "
                 f"divisible by the {n_dev} devices in the data mesh"
             )
-    mesh = make_mesh(n_dev)
-    logger.info("devices: %s (mesh uses %d)", jax.devices(), n_dev)
+    # mesh layout from ParallelConfig: data_axis -1 fills all (remaining)
+    # devices; time_axis > 1 adds a ("data", "time") axis the batch/window
+    # axes fold over (mesh.py make_mesh)
+    par = cfg.parallel
+    t_ax = max(1, par.time_axis)
+    if par.data_axis != -1:
+        n_dev = min(n_dev, par.data_axis * t_ax)
+    mesh = make_mesh(n_dev, time=t_ax)
+    logger.info(
+        "devices: %s (mesh %s uses %d)", jax.devices(), mesh.shape, n_dev
+    )
 
     # init with one sample batch shape; each process loads its slice of the
     # global batch (reference per-rank split, build.py:23-37)
