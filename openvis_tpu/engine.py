@@ -34,6 +34,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from openvis_tpu.config import Config
+# tower-building + mask-crop score paths live in clip_towers (split out of
+# this module); re-exported names keep the engine.* API stable
+from openvis_tpu.clip_towers import (  # noqa: F401
+    amp_cast,
+    apply_clip_ensemble,
+    build_clip_visual,
+    clip_crop_scores as _clip_crop_scores,
+    crop_text_with_bg,
+    eval_dtype,
+    make_openvis_score_fn,
+    raw_frames as _raw_frames,
+)
 from openvis_tpu.data import catalog
 from openvis_tpu.data.loader import test_videos
 from openvis_tpu.evals.burst_eval import BURSTEvaluator
@@ -167,219 +179,6 @@ def make_postprocess_fn(cfg: Config):
                                     track_indices=indices[0])
 
     return fn
-
-
-def apply_clip_ensemble(
-    scores: jax.Array,       # (Q, K) softmaxed text-matching scores
-    clip_logits: jax.Array,  # (T, Q, K+1) mask-crop CLIP logits (bg row last)
-    valid: jax.Array,        # (T, Q)
-    weight: float,
-    drop_last: bool = True,
-) -> jax.Array:
-    """SimpleBSL's open_vocabulary_ensemble (simplebsl.py:122-163):
-    geometric mean ``scores^(1-w) * clip^w`` with softmax-then-frame-mean
-    CLIP probs; queries never valid in any frame keep their scores
-    (map-back ones).  ``drop_last`` removes the BgClipAdapter no-object row
-    before the softmax (the reference slices ``[..., :-1]`` unconditionally,
-    ``simplebsl.py:136`` — pass False for a non-bg adapter so a real class
-    is not dropped)."""
-    from openvis_tpu.models.clip_adapter import frame_average_scores
-
-    clip_scores, qvalid = frame_average_scores(
-        clip_logits, valid, mode="softmax_then_mean", drop_last=drop_last
-    )
-    clip_scores = jnp.where(qvalid[:, None], clip_scores, 1.0)
-    if weight <= 0:
-        return jnp.where(qvalid[:, None], clip_scores, scores)
-    return jnp.power(scores, 1.0 - weight) * jnp.power(clip_scores, weight)
-
-
-def build_clip_visual(cfg: Config):
-    """Frozen CLIP visual tower for the mask-crop scoring paths (OpenVIS
-    inference, SimpleBSL ensemble), dispatching on ``clip_adapter.name``
-    like the reference's ``build_clip_adapter``
-    (``openvis/modeling/clip_adapter/__init__.py:9-15``):
-
-      * "clip" / "bg_clip": plain ViT tower -> ``visual_apply(imgs)``;
-      * "adapted" / "bg_adapted": mask-prompted tower
-        (``third_parties/mask_adapted_clip/.../model.py:288-363``) ->
-        ``visual_apply(imgs, soft_masks_or_None)``.
-
-    Returns ``(visual_apply, adapted)``.  ``clip_adapter.weights`` may be a
-    converted msgpack, a torch ``.pt``, an OpenAI model name, or a URL
-    (rank-0 fetch + barrier, ``models/clip/build.py``); a plain OpenAI
-    conversion grafts
-    into the adapted tower with a zero ``mask_embedding`` — exactly the
-    reference's ``torch.zeros`` init (``model.py:325``)."""
-    from openvis_tpu.models.clip.model import (
-        CLIPVisionTransformer,
-        _MODEL_SHAPES,
-    )
-    from openvis_tpu.models.clip.build import build_clip_params
-
-    ca = cfg.model.clip_adapter
-    shape = _MODEL_SHAPES[ca.clip_model_name]
-    vtree = build_clip_params(ca.weights)["visual"]
-    if isinstance(shape["vision_layers"], tuple):
-        # ModifiedResNet tower (RN50/RN101): the mask routes into the
-        # attention pool's key padding — one module serves both the plain
-        # and the mask-adapted adapters (mask_adapted_clip/model.py:73-221)
-        from openvis_tpu.models.clip_mask_adapted import (
-            MaskAdaptedModifiedResNet,
-        )
-
-        vis = MaskAdaptedModifiedResNet(
-            layers=shape["vision_layers"], width=shape["vision_width"],
-            embed_dim=shape["embed_dim"], heads=shape["vision_heads"],
-            image_size=shape["image_size"],
-        )
-        vtree = amp_cast(cfg, vtree)
-        if ca.name in ("adapted", "bg_adapted"):
-            return (
-                lambda imgs, masks=None: vis.apply(
-                    {"params": vtree}, imgs, masks
-                ),
-                True,
-            )
-        return (lambda imgs: vis.apply({"params": vtree}, imgs)), False
-    if ca.name in ("adapted", "bg_adapted"):
-        from openvis_tpu.models.clip_mask_adapted import MaskAdaptedVisual
-
-        vis = MaskAdaptedVisual(
-            patch_size=shape["vision_patch"], width=shape["vision_width"],
-            layers=shape["vision_layers"], heads=shape["vision_heads"],
-            embed_dim=shape["embed_dim"], image_size=shape["image_size"],
-            mask_prompt_depth=cfg.model.clip_adapter.mask_prompt_depth,
-        )
-        if "mask_embedding" not in vtree:
-            g = shape["image_size"] // shape["vision_patch"]
-            vtree = dict(vtree, mask_embedding=np.zeros(
-                (ca.mask_prompt_depth, g * g, shape["vision_width"]),
-                np.float32,
-            ))
-        vtree = amp_cast(cfg, vtree)
-        return (
-            lambda imgs, masks=None: vis.apply({"params": vtree}, imgs, masks),
-            True,
-        )
-    vis = CLIPVisionTransformer(
-        patch_size=shape["vision_patch"], width=shape["vision_width"],
-        layers=shape["vision_layers"], heads=shape["vision_heads"],
-        embed_dim=shape["embed_dim"], image_size=shape["image_size"],
-    )
-    vtree = amp_cast(cfg, vtree)
-    return (lambda imgs: vis.apply({"params": vtree}, imgs)), False
-
-
-def eval_dtype(cfg: Config):
-    """Array dtype for the eval path: bf16 under AMP eval (``test.amp``,
-    mirroring the reference's autocast evaluation, train_net.py:241-242)."""
-    return jnp.bfloat16 if cfg.model.test.amp else jnp.float32
-
-
-def amp_cast(cfg: Config, tree):
-    """Cast every f32 leaf of ``tree`` (param trees and host arrays alike)
-    to bf16 when AMP eval is on; other dtypes pass through.  The model's
-    f32-sensitive islands (CLIP LayerNormF32, attention softmaxes) upcast
-    internally regardless of param dtype."""
-    if not cfg.model.test.amp:
-        return tree
-    return jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
-        tree,
-    )
-
-
-def crop_text_with_bg(cfg: Config, params, text: jax.Array):
-    """Text rows for the mask-crop CLIP classifier in the SimpleBSL
-    ensemble: the Bg adapters classify against the class rows PLUS the
-    learned, normalized no-object row (``BgClipAdapter.encode_text``,
-    ``adapter.py:150-161``) — the same ``non_object_embedding`` parameter
-    the SimpleBSL similarity head uses.  Returns ``(rows, has_bg)``;
-    ``has_bg`` drives the ensemble's drop-last column."""
-    if not cfg.model.clip_adapter.name.startswith("bg"):
-        return text, False
-    bg = params.get("non_object_embedding") if hasattr(params, "get") else None
-    if bg is None:
-        return text, False
-    bg = jnp.asarray(bg, jnp.float32)
-    bg = bg / (jnp.linalg.norm(bg, axis=-1, keepdims=True) + 1e-6)
-    bg = bg.astype(text.dtype)  # keep the bank's (AMP) dtype
-    return jnp.concatenate([text, bg.reshape(1, -1)], axis=0), True
-
-
-def make_openvis_score_fn(cfg: Config, clip_visual_apply, adapted=None):
-    """Per-window CLIP crop classification on ALIGNED 1/4-res masks
-    (openvis.py:110-147 after post_processing).  ``adapted`` routes through
-    the mask-prompted tower (AdaptedClipAdapter,
-    ``mask_adapted_adapter.py:59-76``); None derives it from the config."""
-    from openvis_tpu.models.clip.model import _MODEL_SHAPES
-    from openvis_tpu.models.clip_adapter import clip_crop_classify
-
-    ca = cfg.model.clip_adapter
-    if adapted is None:
-        adapted = ca.name in ("adapted", "bg_adapted")
-    # crops resample to the tower's own resolution (the reference reads
-    # clip_model.visual.input_resolution, adapter.py:40)
-    res = _MODEL_SHAPES[ca.clip_model_name]["image_size"]
-
-    def fn(frames_raw, masks_q, text_feats):
-        # frames_raw (W,H,Wd,3) 0-255; masks_q (W,Q,h,w) logits at 1/4
-        if adapted:
-            from openvis_tpu.models.clip_mask_adapted import (
-                adapted_clip_crop_classify,
-            )
-
-            return adapted_clip_crop_classify(
-                clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
-                text_feats, input_resolution=res,
-                mask_prompt_fwd=ca.mask_prompt_fwd,
-                mask_stride=cfg.model.pixel_decoder.common_stride,
-                sampling_ratio=ca.crop_sampling_ratio,
-            )
-        return clip_crop_classify(
-            clip_visual_apply, frames_raw, jax.nn.sigmoid(masks_q),
-            text_feats, input_resolution=res,
-            mask_stride=cfg.model.pixel_decoder.common_stride,
-            sampling_ratio=ca.crop_sampling_ratio,
-        )
-
-    return fn
-
-
-def _clip_crop_scores(
-    score_fn, raw_frames: np.ndarray, masks_tq: np.ndarray,
-    text_crop: jax.Array, window: int, t: int,
-):
-    """Chunked mask-crop CLIP scoring over the real frames (the reference's
-    ``part_len`` frame chunks, ``openvis.py:113-122`` /
-    ``simplebsl.py:127-136``).  ``masks_tq`` is (Tb, Q, h, w) mask logits in
-    per-video-consistent query order; returns ``(logits (T, Q, K'),
-    valid (T, Q))`` over the REAL frames only."""
-    lgs, vds = [], []
-    for i in range(0, t, window):
-        chunk = raw_frames[i : i + window]
-        pad = window - len(chunk)
-        if pad:
-            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
-        m = masks_tq[i : i + window]
-        if pad:
-            m = np.concatenate([m, m[-1:].repeat(pad, 0)])
-        lg, vd = score_fn(jnp.asarray(chunk), jnp.asarray(m), text_crop)
-        keep = window - pad
-        lgs.append(np.asarray(lg[:keep]))
-        vds.append(np.asarray(vd[:keep]))
-    return jnp.asarray(np.concatenate(lgs)), jnp.asarray(np.concatenate(vds))
-
-
-def _raw_frames(cfg: Config, pixels: np.ndarray) -> np.ndarray:
-    """Undo the model normalization: CLIP crops sample the ORIGINAL 0-255
-    frames (the reference feeds ``batched_inputs[0]["image"]``,
-    ``simplebsl.py:297``)."""
-    raw = pixels * np.asarray(cfg.model.pixel_std) + np.asarray(
-        cfg.model.pixel_mean
-    )
-    return raw.astype(eval_dtype(cfg))
 
 
 def _host_videos(cfg: Config, dataset_name: str, max_videos):
@@ -518,10 +317,15 @@ def evaluate_dataset(
     if getattr(model, "supervise_aux_logits", False):
         model = model.clone(supervise_aux_logits=False)
 
-    if arch == "BriVIS" and cfg.model.resampler.name == "temporal":
-        # decoupled/raw resampler variants evaluate single-shot (their layer
-        # structure has no split transform/heads entry points)
+    if arch == "BriVIS" and cfg.model.resampler.name in ("temporal", "decoupled"):
+        # the decoupled resampler's heads never feed back into its layers,
+        # so it shares the temporal variant's exact split decomposition
+        # (final_embeds over the full sequence + per-window heads)
         return _evaluate_brivis_windowed(
+            cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+        )
+    if arch == "BriVIS" and cfg.model.resampler.name == "raw":
+        return _evaluate_brivis_raw_windowed(
             cfg, model, params, dataset_name, text_feats, max_videos, evaluator
         )
     if is_single_shot(arch):
@@ -863,6 +667,147 @@ def _evaluate_brivis_windowed(
                 params, jnp.asarray(_pad(final_np)),
                 jnp.asarray(_pad(mask_feats)), jnp.asarray(_pad(attn_feats)),
                 jnp.asarray(_pad(bk_tokens)), text,
+            )
+            keep = window - pad
+            masks_parts.append(np.asarray(m[:keep]))
+            logits_parts.append(np.asarray(lg[:keep]))
+        masks = np.concatenate(masks_parts, axis=0)      # (Tb, Q, h, w)
+        logits = np.concatenate(logits_parts, axis=0)    # (Tb, Q, K+1)
+
+        fv = np.zeros((tb, 1, 1), np.float32)
+        fv[:t] = 1.0
+        mean_logits = (logits * fv).sum(0) / max(float(fv.sum()), 1.0)
+        probs = np.asarray(jax.nn.softmax(jnp.asarray(mean_logits), -1))
+        probs = probs[..., :-1]                          # drop bg column
+        topk_out = inference_video_topk(
+            jnp.asarray(probs), jnp.asarray(np.swapaxes(masks, 0, 1)), topk
+        )
+        topk_np = {k: np.asarray(v) for k, v in topk_out.items()}
+        mk = topk_np["mask_logits"][:, :t]
+        ph, pw = sample["pixels"].shape[1:3]
+        up = resize_bilinear_torch_hw(jnp.asarray(mk, jnp.float32), (ph, pw))
+        topk_np["mask_logits"] = np.asarray(up)
+        _emit(evaluator, rec["video_id"], topk_np,
+              sample["image_size"], sample["orig_size"])
+    return _finalize(cfg, dataset_name, evaluator)
+
+
+def _evaluate_brivis_raw_windowed(
+    cfg, model, params, dataset_name, text_feats, max_videos, evaluator
+) -> Dict[str, float]:
+    """BriVIS + raw resampler long-video inference — the reference's OWN
+    windowed path for this class (``resampler.py:406-516``): per resampler
+    layer the temporal (long/short) half runs over the FULL concatenated
+    sequence of query embeds, while the per-frame cross-attention half runs
+    window-by-window against that window's multi-scale pixel tokens (frames
+    never mix in the cross-attention, so the decomposition is exact; the
+    reference's ``attn_mask`` is dead code — ``memory_mask=None``)."""
+    window = window_size(cfg)
+    topk = cfg.model.test.topk_per_video
+    nlayers = cfg.model.resampler.num_layers
+    nlvl = 3
+    text = jnp.asarray(text_feats, eval_dtype(cfg))
+
+    stack_fn = jax.jit(
+        lambda p, f: model.apply({"params": p}, f, f.shape[0],
+                                 method="frame_stack")
+    )
+    temporal_fns = [
+        jax.jit(lambda p, x, i=i: model.apply(
+            {"params": p}, x, i, method="raw_temporal"))
+        for i in range(nlayers)
+    ]
+    frame_fns = [
+        jax.jit(lambda p, pf, mf, mp, i=i: model.apply(
+            {"params": p}, pf, mf, mp, i, method="raw_frame"))
+        for i in range(nlayers)
+    ]
+
+    def _predict(p, pf, mf, af, bk, tx):
+        e = model.apply({"params": p}, pf, method="raw_finalize")
+        return model.apply({"params": p}, e, mf, af, bk, tx,
+                           method="predict_window")
+
+    predict_fn = jax.jit(_predict)
+
+    for rec, sample in _host_videos(cfg, dataset_name, max_videos):
+        frames = sample["pixels"]  # (T, H, W, 3) numpy
+        t = frames.shape[0]
+        keys = (["pred_embeds", "mask_feats", "attn_feats", "bk_tokens"]
+                + [f"ms_feats{l}" for l in range(nlvl)])
+        parts = {k: [] for k in keys}
+        ms_pos = None
+        for i in range(0, t, window):
+            chunk = frames[i : i + window]
+            pad = window - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, 0)])
+            out = stack_fn(params, jnp.asarray(chunk, eval_dtype(cfg)))
+            keep = window - pad
+            parts["pred_embeds"].append(np.asarray(out["pred_embeds"][0, :keep]))
+            for k in keys[1:]:
+                parts[k].append(np.asarray(out[k][:keep]))
+            if ms_pos is None:
+                ms_pos = [jnp.asarray(np.asarray(out[f"ms_pos{l}"]))
+                          for l in range(nlvl)]
+        cat = {k: np.concatenate(v, axis=0) for k, v in parts.items()}
+
+        tb = _bucket(t)
+        _log_bucket("brivis_raw_resample", tb)
+        if tb > t:
+            for k in cat:
+                cat[k] = np.concatenate(
+                    [cat[k], cat[k][-1:].repeat(tb - t, 0)]
+                )
+
+        # MinVIS alignment over the FULL sequence (brivis.py:173-174)
+        embeds = cat["pred_embeds"]                             # (Tb, Q, C)
+        q, c = embeds.shape[1:]
+        indices = track_by_embeds(jnp.asarray(embeds)[None])    # (1, Tb, Q)
+        aligned = np.asarray(
+            apply_track_indices(jnp.asarray(embeds)[None], indices)[0]
+        )
+
+        # interleaved layer loop: full-sequence temporal half + per-window
+        # frame half at level i % 3
+        x = np.ascontiguousarray(np.swapaxes(aligned, 0, 1))    # (Q, Tb, C)
+        for i in range(nlayers):
+            x = np.asarray(temporal_fns[i](params, jnp.asarray(x)))
+            # np.array copies: jax buffer views are read-only and
+            # ascontiguousarray would return the same read-only array
+            pf = np.array(np.swapaxes(x, 0, 1))                 # (Tb, Q, C)
+            lvl = i % nlvl
+            for j in range(0, tb, window):
+                k = min(j + window, tb)
+                pad = window - (k - j)
+                blk = pf[j:k]
+                mf = cat[f"ms_feats{lvl}"][j:k]
+                if pad:
+                    blk = np.concatenate([blk, blk[-1:].repeat(pad, 0)])
+                    mf = np.concatenate([mf, mf[-1:].repeat(pad, 0)])
+                o = np.asarray(frame_fns[i](
+                    params, jnp.asarray(blk), jnp.asarray(mf), ms_pos[lvl]
+                ))
+                pf[j:k] = o[: k - j]
+            x = np.ascontiguousarray(np.swapaxes(pf, 0, 1))
+
+        final = np.ascontiguousarray(np.swapaxes(x, 0, 1))      # (Tb, Q, C)
+        masks_parts, logits_parts = [], []
+        for i in range(0, tb, window):
+            j = min(i + window, tb)
+            pad = window - (j - i)
+
+            def _pad(a):
+                return (
+                    np.concatenate([a[i:j], a[j - 1 : j].repeat(pad, 0)])
+                    if pad else a[i:j]
+                )
+
+            m, lg = predict_fn(
+                params, jnp.asarray(_pad(final)),
+                jnp.asarray(_pad(cat["mask_feats"])),
+                jnp.asarray(_pad(cat["attn_feats"])),
+                jnp.asarray(_pad(cat["bk_tokens"])), text,
             )
             keep = window - pad
             masks_parts.append(np.asarray(m[:keep]))

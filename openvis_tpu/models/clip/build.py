@@ -100,16 +100,16 @@ def fetch_clip_checkpoint(name_or_path: str, cache_dir: str | None = None) -> st
     import jax
     from jax.experimental import multihost_utils
 
+    m = _SHA_RE.search(url)
     if not os.path.exists(dst) and jax.process_index() == 0:
-        m = _SHA_RE.search(url)
         _fetch(url, dst, m.group(1) if m else None)
     if jax.process_count() > 1:
         multihost_utils.sync_global_devices(f"clip_fetch:{os.path.basename(url)}")
     if not os.path.exists(dst):
-        raise IOError(
-            f"CLIP checkpoint {dst} missing after fetch barrier — is the "
-            "cache directory shared across hosts (or writable on each)?"
-        )
+        # per-host (non-shared) cache: each JAX process is its host's local
+        # rank 0, so fetch locally — the reference downloads on every node's
+        # local rank 0 (clip_adapter/utils.py get_local_rank()==0)
+        _fetch(url, dst, m.group(1) if m else None)
     return dst
 
 

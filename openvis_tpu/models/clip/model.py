@@ -55,9 +55,19 @@ class CLIPAttention(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, attn_bias=None, kv=None):
+    def __call__(self, x, attn_mask=None, attn_bias=None, kv=None, sos_q=0):
         """x: (B, Lq, C) queries; kv defaults to x.  attn_mask: (Lq, Lk)
-        additive; attn_bias: (B, H, Lq, Lk) additive per-head."""
+        additive; attn_bias: (B, H, Lq, Lk) additive per-head.
+
+        ``sos_q > 0`` selects SAN's sos-split structure
+        (``side_adapter.py:237-270``): the first ``sos_q`` tokens are sos
+        queries, the rest is the ctx (cls+patch) sequence.  By the
+        reference bias's own construction ctx rows carry -100 on every sos
+        column, i.e. ctx attention is standard CLIP attention (e^-100
+        relative weight is below f32 resolution), and a sos row sees only
+        itself (bias 0) plus the ctx columns.  ``attn_bias`` is then the
+        (B, H, sos_q, Lk-sos_q) additive bias on the sos->ctx logits only —
+        the dense (B, H, S, S) bias is never materialized."""
         kv = x if kv is None else kv
         b, lq, c = x.shape
         lk = kv.shape[1]
@@ -66,9 +76,31 @@ class CLIPAttention(nn.Module):
         q = nn.Dense(c, name="q_proj")(x).reshape(b, lq, h, dh)
         k = nn.Dense(c, name="k_proj")(kv).reshape(b, lk, h, dh)
         v = nn.Dense(c, name="v_proj")(kv).reshape(b, lk, h, dh)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(dh, q.dtype)
-        )
+        scale = jnp.sqrt(jnp.asarray(dh, q.dtype))
+        if sos_q:
+            assert attn_mask is None and kv is x
+            q_s, q_c = q[:, :sos_q], q[:, sos_q:]
+            k_s, k_c = k[:, :sos_q], k[:, sos_q:]
+            v_s, v_c = v[:, :sos_q], v[:, sos_q:]
+            # ctx rows: plain self-attention over ctx tokens
+            lc = jnp.einsum("bqhd,bkhd->bhqk", q_c, k_c) / scale
+            ac = jax.nn.softmax(lc.astype(jnp.float32), axis=-1).astype(x.dtype)
+            out_c = jnp.einsum("bhqk,bkhd->bqhd", ac, v_c)
+            # sos rows: [self | ctx] columns (other sos tokens and any
+            # -100-biased ctx columns live in attn_bias)
+            l_self = jnp.einsum("bqhd,bqhd->bhq", q_s, k_s)[..., None] / scale
+            l_ctx = jnp.einsum("bqhd,bkhd->bhqk", q_s, k_c) / scale
+            if attn_bias is not None:
+                l_ctx = l_ctx + attn_bias
+            ls = jnp.concatenate([l_self, l_ctx], axis=-1)
+            asm = jax.nn.softmax(ls.astype(jnp.float32), axis=-1).astype(x.dtype)
+            a_self = jnp.transpose(asm[..., 0], (0, 2, 1))[..., None]  # (b,q,h,1)
+            out_s = a_self * v_s + jnp.einsum(
+                "bhqk,bkhd->bqhd", asm[..., 1:], v_c
+            )
+            out = jnp.concatenate([out_s, out_c], axis=1).reshape(b, lq, c)
+            return nn.Dense(c, name="out_proj")(out)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / scale
         if attn_mask is not None:
             logits = logits + attn_mask
         if attn_bias is not None:
@@ -86,10 +118,10 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
 
     @nn.compact
-    def __call__(self, x, attn_mask=None, attn_bias=None):
+    def __call__(self, x, attn_mask=None, attn_bias=None, sos_q=0):
         y = LayerNormF32(name="ln_1")(x)
         x = x + CLIPAttention(self.width, self.heads, name="attn")(
-            y, attn_mask=attn_mask, attn_bias=attn_bias
+            y, attn_mask=attn_mask, attn_bias=attn_bias, sos_q=sos_q
         )
         y = LayerNormF32(name="ln_2")(x)
         h = nn.Dense(self.width * 4, name="mlp_c_fc")(y)
@@ -205,14 +237,17 @@ class CLIPVisionTransformer(nn.Module):
         hi: int,
         attn_bias: Optional[Sequence[Optional[jax.Array]]] = None,
         taps: Sequence[int] = (),
+        sos_q: int = 0,
     ) -> Tuple[jax.Array, Dict[int, jax.Array]]:
         """Run blocks [lo, hi). ``taps``: 1-based block indices whose OUTPUT
         to record (SAN's merge_ids count blocks from 1, side_adapter.py:162).
-        ``attn_bias``: per-block additive (B, H, L, L) biases or None."""
+        ``attn_bias``: per-block additive (B, H, L, L) biases or None; with
+        ``sos_q > 0`` they are sos-row (B, H, sos_q, L-sos_q) biases instead
+        (see CLIPAttention)."""
         tapped: Dict[int, jax.Array] = {}
         for i in range(lo, hi):
             bias = attn_bias[i - lo] if attn_bias is not None else None
-            x = self.blocks[i](x, attn_bias=bias)
+            x = self.blocks[i](x, attn_bias=bias, sos_q=sos_q)
             if (i + 1) in taps:
                 tapped[i + 1] = x
         return x, tapped

@@ -187,14 +187,35 @@ class BriVISModel(nn.Module):
 
     def frame_stack(self, frames: jax.Array, num_frames: int) -> Dict[str, Any]:
         """One window of the frozen per-frame stack -> small/pixel artifacts
-        for later full-sequence resampling."""
+        for later full-sequence resampling.  The raw resampler additionally
+        needs the decoder's multi-scale token maps for its per-frame
+        cross-attention (``resampler.py:406-470``)."""
         image_out, bk_tokens, _ = self._frame_stack(frames, num_frames)
-        return {
+        out = {
             "pred_embeds": image_out["pred_embeds"],   # (B, T, Q, C)
             "mask_feats": image_out["mask_feats"],     # (B*T, H, W, C)
             "attn_feats": image_out["attn_feats"],     # (B*T, nH, h, w, C)
             "bk_tokens": bk_tokens,                    # (B*T, 1+L, W)
         }
+        if self.cfg.resampler.name == "raw":
+            for lvl, (f, p) in enumerate(
+                zip(image_out["ms_feats"], image_out["ms_pos"])
+            ):
+                out[f"ms_feats{lvl}"] = f                # (B*T, hw_l, C)
+                out[f"ms_pos{lvl}"] = p                  # (1, hw_l, C)
+        return out
+
+    # raw-resampler windowed inference (reference resampler.py:406-516):
+    # per layer, the temporal half runs over the FULL sequence while the
+    # per-frame half runs window-by-window against that window's tokens
+    def raw_temporal(self, x: jax.Array, i: int) -> jax.Array:
+        return self.resampler.temporal_half(x, i)
+
+    def raw_frame(self, pf, ms_feat, ms_pos, i: int) -> jax.Array:
+        return self.resampler.frame_half(pf, ms_feat, ms_pos, i)
+
+    def raw_finalize(self, pf: jax.Array) -> jax.Array:
+        return self.resampler.finalize_embeds(pf)
 
     def resample(self, aligned_embeds: jax.Array) -> jax.Array:
         """Temporal transform over the FULL sequence: (B, T, Q, C) aligned

@@ -43,6 +43,16 @@ from openvis_tpu.models.transformer_decoder import (
 )
 
 
+def _check_odd_kernels(ks: Tuple[int, int]) -> None:
+    # replicate-pad k//2 per side + VALID width-k conv preserves T only for
+    # odd k; even k yields T-1 frames and the residual add shape-errors
+    if any(k % 2 == 0 for k in ks):
+        raise ValueError(
+            f"resampler.conv_kernels={ks}: all entries must be odd "
+            "(replicate-pad + VALID conv must preserve the frame count)"
+        )
+
+
 class TemporalResampler(nn.Module):
     hidden_dim: int = 256
     feed_dim: int = 2048
@@ -51,6 +61,7 @@ class TemporalResampler(nn.Module):
     conv_kernels: Tuple[int, int] = (5, 3)  # short-term temporal conv widths
 
     def setup(self):
+        _check_odd_kernels(self.conv_kernels)
         n = self.nlayers
         self.longs = [
             MultiheadAttention(self.hidden_dim, self.nheads, name=f"long{i}")
@@ -181,6 +192,7 @@ class DecoupledTemporalResampler(nn.Module):
     nqueries: int = 100
 
     def setup(self):
+        _check_odd_kernels(self.conv_kernels)
         n = self.nlayers
         self.longs = [
             MultiheadAttention(self.hidden_dim, self.nheads, name=f"long{i}")
@@ -228,7 +240,9 @@ class DecoupledTemporalResampler(nn.Module):
             self.hidden_dim, self.hidden_dim, 3, name="attn_embed"
         )
 
-    def __call__(self, frame_embeds, mask_feats, attn_feats):
+    def _tgt_layers(self, frame_embeds: jax.Array):
+        """Shared layer loop: (B, T, Q, C) -> list of L+1 (B*T, nQ, C)
+        learnable-query states (pre decode_norm)."""
         b, t, q, c = frame_embeds.shape
         bt = b * t
         x = jnp.transpose(frame_embeds, (0, 2, 1, 3)).reshape(b * q, t, c)
@@ -257,8 +271,34 @@ class DecoupledTemporalResampler(nn.Module):
             tgt = self.tgt_sas[i](tgt, qpos)
             tgt = self.tgt_ffns[i](tgt)
             tgt_layers.append(tgt)
+        return tgt_layers, (b, t, q, c)
 
-        stacked = amp_norm(self.decode_norm, jnp.stack(tgt_layers))  # (L+1, B*T, Q, C)
+    def final_embeds(self, frame_embeds: jax.Array) -> jax.Array:
+        """Windowed-inference entry (exact decomposition — the heads never
+        feed back into the layers): (B, T, Q, C) frame embeds -> final-layer
+        normed learnable-query embeds (B, T, nQ, C).  Heads run per window
+        via :meth:`predict_frames`."""
+        tgt_layers, (b, t, _, c) = self._tgt_layers(frame_embeds)
+        out = amp_norm(self.decode_norm, tgt_layers[-1])
+        return out.reshape(b, t, self.nqueries, c)
+
+    def predict_frames(
+        self,
+        per_frame_embeds: jax.Array,  # (N, nQ, C) final-layer normed embeds
+        mask_feats: jax.Array,        # (N, H, W, C)
+        attn_feats: jax.Array,        # (N, nH, h, w, C)
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Heads for a window -> (masks (N, nQ, H, W),
+        attn_biases (N, nH, nQ, h, w))."""
+        me = self.mask_embed_mlp(per_frame_embeds)
+        ae = self.attn_embed_mlp(per_frame_embeds)
+        masks = jnp.einsum("nqc,nhwc->nqhw", me, mask_feats)
+        biases = jnp.einsum("nqc,nmhwc->nmqhw", ae, attn_feats)
+        return masks, biases
+
+    def __call__(self, frame_embeds, mask_feats, attn_feats):
+        tgt_layers, (b, t, q, c) = self._tgt_layers(frame_embeds)
+        stacked = amp_norm(self.decode_norm, jnp.stack(tgt_layers))  # (L+1, B*T, nQ, C)
         l1 = stacked.shape[0]
         me = self.mask_embed_mlp(stacked)
         ae = self.attn_embed_mlp(stacked)
@@ -295,6 +335,7 @@ class RawTemporalResampler(nn.Module):
     conv_kernels: Tuple[int, int] = (5, 3)  # short-term temporal conv widths
 
     def setup(self):
+        _check_odd_kernels(self.conv_kernels)
         n = self.nlayers
         self.longs = [
             MultiheadAttention(self.hidden_dim, self.nheads, name=f"long{i}")
@@ -330,6 +371,54 @@ class RawTemporalResampler(nn.Module):
             self.hidden_dim, self.hidden_dim, 3, name="attn_embed"
         )
 
+    def temporal_half(self, x: jax.Array, i: int) -> jax.Array:
+        """Layer ``i``'s long/short temporal stack over (B*Q, T, C) — runs
+        over the FULL concatenated sequence in the windowed path (the
+        reference's ``forward`` window branch, ``resampler.py:406-470``)."""
+        attn = self.longs[i](x, x, x)
+        x = amp_norm(self.long_norms[i], x + attn)
+        k0 = self.conv_kernels[0] // 2
+        y = jnp.pad(x, ((0, 0), (k0, k0), (0, 0)), mode="edge")
+        y = self.short_conv1s[i](y)
+        y = nn.relu(y)
+        k1 = self.conv_kernels[1] // 2
+        y = jnp.pad(y, ((0, 0), (k1, k1), (0, 0)), mode="edge")
+        y = self.short_conv2s[i](y)
+        return amp_norm(self.agg_norms[i], y + x)
+
+    def frame_half(
+        self, pf: jax.Array, ms_feat: jax.Array, ms_pos: jax.Array, i: int
+    ) -> jax.Array:
+        """Layer ``i``'s per-frame half: cross-attn into this frame's pixel
+        tokens at level ``i % nlevels`` (caller selects the level slice) +
+        self-attn + FFN over (N, Q, C).  Frames never mix here, so the
+        windowed decomposition is exact (``resample_infer``,
+        ``resampler.py:496-516``; its ``attn_mask`` is dead — passed as
+        ``memory_mask=None``)."""
+        q, c = pf.shape[1:]
+        pf = self.crosses[i](pf, ms_feat, ms_pos, jnp.zeros((1, q, c), pf.dtype))
+        pf = self.selfs[i](pf, jnp.zeros((1, q, c), pf.dtype))
+        return self.ffns[i](pf)
+
+    def finalize_embeds(self, pf: jax.Array) -> jax.Array:
+        """decode_norm for head inputs — heads consume NORMED embeds in
+        both the single-shot stack and the windowed path."""
+        return amp_norm(self.decode_norm, pf)
+
+    def predict_frames(
+        self,
+        per_frame_embeds: jax.Array,  # (N, Q, C) final-layer NORMED embeds
+        mask_feats: jax.Array,        # (N, H, W, C)
+        attn_feats: jax.Array,        # (N, nH, h, w, C)
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Heads for a window -> (masks (N, Q, H, W),
+        attn_biases (N, nH, Q, h, w))."""
+        me = self.mask_embed_mlp(per_frame_embeds)
+        ae = self.attn_embed_mlp(per_frame_embeds)
+        masks = jnp.einsum("nqc,nhwc->nqhw", me, mask_feats)
+        biases = jnp.einsum("nqc,nmhwc->nmqhw", ae, attn_feats)
+        return masks, biases
+
     def __call__(self, frame_embeds, mask_feats, attn_feats, ms_feats, ms_pos):
         """ms_feats/ms_pos: the frame decoder's 3 token maps
         ((B*T, hw_l, C), (1, hw_l, C)) top-down — ``Segmenter`` outputs
@@ -341,26 +430,13 @@ class RawTemporalResampler(nn.Module):
         per_frame0 = frame_embeds.reshape(bt, q, c)
         layer_outputs = [per_frame0]
         for i in range(self.nlayers):
-            attn = self.longs[i](x, x, x)
-            x = amp_norm(self.long_norms[i], x + attn)
-            k0 = self.conv_kernels[0] // 2
-            y = jnp.pad(x, ((0, 0), (k0, k0), (0, 0)), mode="edge")
-            y = self.short_conv1s[i](y)
-            y = nn.relu(y)
-            k1 = self.conv_kernels[1] // 2
-            y = jnp.pad(y, ((0, 0), (k1, k1), (0, 0)), mode="edge")
-            y = self.short_conv2s[i](y)
-            x = amp_norm(self.agg_norms[i], y + x)
+            x = self.temporal_half(x, i)
             # per-frame cross-attn into pixel features at level i % 3
             pf = jnp.transpose(
                 x.reshape(b, q, t, c), (0, 2, 1, 3)
             ).reshape(bt, q, c)
             lvl = i % nlvl
-            pf = self.crosses[i](
-                pf, ms_feats[lvl], ms_pos[lvl], jnp.zeros((1, q, c), pf.dtype)
-            )
-            pf = self.selfs[i](pf, jnp.zeros((1, q, c), pf.dtype))
-            pf = self.ffns[i](pf)
+            pf = self.frame_half(pf, ms_feats[lvl], ms_pos[lvl], i)
             layer_outputs.append(pf)
             x = jnp.transpose(
                 pf.reshape(b, t, q, c), (0, 2, 1, 3)

@@ -173,23 +173,24 @@ class SideAdapter(nn.Module):
         h, w = grid_hw
         L = h * w
 
-        # bias assembly (_build_attn_biases, :237-270)
+        # bias assembly (_build_attn_biases, :237-270) — sos-split form.
+        # The reference's dense (S, S) base bias cuts every patch/cls->sos
+        # interaction at -100 (e^-100: below f32 softmax resolution), so
+        # ctx rows are standard CLIP attention and only the Q sos rows need
+        # a bias: [-100 on the cls column | pooled decoder maps on patches].
+        # The (N, nH, S, S) bias is never materialized (CLIPAttention sos_q).
         nH = attn_biases.shape[1]
         ab = adaptive_max_pool(attn_biases, (h, w))      # (N, nH, Q, h, w)
-        ab = ab.reshape(n, nH, q, L)
-        S = q + 1 + L
-        base = jnp.zeros((S, S), bk_tokens.dtype)
-        base = base.at[:, :q].set(-100.0)                # nothing attends to sos
-        base = base.at[jnp.arange(q), jnp.arange(q)].set(0.0)  # sos self ok
-        base = base.at[:q, q].set(-100.0)                # sos can't see cls
-        bias = jnp.broadcast_to(base, (n, nH, S, S))
-        bias = bias.at[:, :, :q, q + 1 :].set(ab)        # sos->patch condition
+        ab = ab.reshape(n, nH, q, L).astype(bk_tokens.dtype)
+        neg_cls = jnp.full((n, nH, q, 1), -100.0, bk_tokens.dtype)
+        sos_bias = jnp.concatenate([neg_cls, ab], axis=-1)  # (N, nH, Q, 1+L)
 
         sos = jnp.broadcast_to(bk_tokens[:, :1], (n, q, wdt))
         x = jnp.concatenate([sos, bk_tokens], axis=1)    # (N, Q+1+L, W)
         x, _ = self.visual.run_blocks(
             x, self.broken_idx, self.visual.layers,
-            attn_bias=[bias] * (self.visual.layers - self.broken_idx),
+            attn_bias=[sos_bias] * (self.visual.layers - self.broken_idx),
+            sos_q=q,
         )
         sos_out = self.visual.finalize(x[:, :q], project=True)  # (N, Q, D)
         return sos_out / (jnp.linalg.norm(sos_out, axis=-1, keepdims=True) + 1e-6)

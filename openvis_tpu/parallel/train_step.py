@@ -86,7 +86,7 @@ def label_params(params, freeze_prefixes=(), freeze_at: int = 0) -> Any:
             or p.split("/")[-1] in ("query_feat", "query_embed", "level_embed",
                                     "positional_embedding", "class_embedding",
                                     "logit_scale", "non_object_embedding",
-                                    "rel_pos_table", "ape")
+                                    "relative_position_bias_table")
         )
         nodecay = (
             p.endswith("bias")

@@ -27,18 +27,23 @@ def _run_bench(arch: str):
     lines = [json.loads(l) for l in buf.getvalue().splitlines() if l.strip()]
     assert lines, "bench printed no JSON lines"
     for rec in lines:
-        assert set(rec) == {"metric", "value", "unit", "vs_baseline"}, rec
+        # flops/mfu are optional extras (FLOPS.json-driven, full shapes only)
+        assert {"metric", "value", "unit", "vs_baseline"} <= set(rec), rec
+        assert set(rec) <= {"metric", "value", "unit", "vs_baseline",
+                            "flops", "mfu"}, rec
         assert rec["value"] > 0, rec
     return lines
 
 
-@pytest.mark.parametrize("arch", ["simplebsl_online", "san_online"])
+@pytest.mark.parametrize(
+    "arch", ["simplebsl_online", "san_online", "brivis", "openvis_online"]
+)
 def test_bench_tiny(arch):
     lines = _run_bench(arch)
     # the LAST line is the headline the driver parses: inference frames/s
     assert lines[-1]["metric"] == f"{arch}_r50_inference"
     assert lines[-1]["unit"] == "frames/s/chip"
-    if arch == "simplebsl_online":
-        # flagship also reports the train step, BEFORE the headline
-        assert lines[0]["metric"] == "simplebsl_online_r50_train_step"
+    if arch in ("simplebsl_online", "san_online", "brivis"):
+        # these archs also report the train step, BEFORE the headline
+        assert lines[0]["metric"] == f"{arch}_r50_train_step"
         assert lines[0]["unit"] == "ms/step"

@@ -164,6 +164,97 @@ def test_brivis_resampler_variants(name):
     assert np.isfinite(float(losses["total"]))
 
 
+def test_raw_resampler_windowed_decomposition_exact():
+    """The raw resampler's windowed path (reference resampler.py:406-516:
+    temporal half over the FULL sequence, per-frame half per window) must
+    match the single-shot forward exactly — frames never mix in the
+    cross-attention, so the decomposition is algebraic, not approximate."""
+    from openvis_tpu.models.resampler import RawTemporalResampler
+
+    rng = np.random.RandomState(0)
+    b, t, q, c, window, nlayers = 1, 8, 4, 16, 4, 2
+    hws = (12, 6, 3)
+    rs = RawTemporalResampler(hidden_dim=c, feed_dim=32, nheads=2,
+                              nlayers=nlayers)
+    fe = jnp.asarray(rng.randn(b, t, q, c).astype(np.float32))
+    mask_feats = jnp.asarray(rng.randn(t, 4, 4, c).astype(np.float32))
+    attn_feats = jnp.asarray(rng.randn(t, 2, 2, 2, c).astype(np.float32))
+    ms_feats = [jnp.asarray(rng.randn(t, hw, c).astype(np.float32))
+                for hw in hws]
+    ms_pos = [jnp.asarray(rng.randn(1, hw, c).astype(np.float32))
+              for hw in hws]
+    params = rs.init(jax.random.PRNGKey(0), fe, mask_feats, attn_feats,
+                     ms_feats, ms_pos)["params"]
+    full = rs.apply({"params": params}, fe, mask_feats, attn_feats,
+                    ms_feats, ms_pos)
+
+    # windowed decomposition (engine._evaluate_brivis_raw_windowed)
+    x = jnp.transpose(fe, (0, 2, 1, 3)).reshape(b * q, t, c)
+    for i in range(nlayers):
+        x = rs.apply({"params": params}, x, i,
+                     method=RawTemporalResampler.temporal_half)
+        pf = np.array(jnp.swapaxes(x, 0, 1))            # (T, Q, C) writable
+        lvl = i % 3
+        for j in range(0, t, window):
+            o = rs.apply(
+                {"params": params}, jnp.asarray(pf[j : j + window]),
+                ms_feats[lvl][j : j + window], ms_pos[lvl], i,
+                method=RawTemporalResampler.frame_half,
+            )
+            pf[j : j + window] = np.asarray(o)
+        x = jnp.swapaxes(jnp.asarray(pf), 0, 1)
+    final = rs.apply({"params": params}, jnp.swapaxes(x, 0, 1),
+                     method=RawTemporalResampler.finalize_embeds)
+    masks, biases = rs.apply({"params": params}, final, mask_feats,
+                             attn_feats,
+                             method=RawTemporalResampler.predict_frames)
+
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(masks, 0, 1)),          # (Q, T, h, w)
+        np.asarray(full["pred_masks_all"][-1, 0]), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(biases), np.asarray(full["attn_biases_all"][-1]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final), np.asarray(full["pred_embeds"][0]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_decoupled_resampler_split_matches_call():
+    """Decoupled final_embeds + predict_frames == __call__'s last layer
+    (the heads never feed back, so the split is exact)."""
+    from openvis_tpu.models.resampler import DecoupledTemporalResampler
+
+    rng = np.random.RandomState(1)
+    b, t, q, c, nq = 1, 6, 4, 16, 5
+    rs = DecoupledTemporalResampler(hidden_dim=c, feed_dim=32, nheads=2,
+                                    nlayers=2, nqueries=nq)
+    fe = jnp.asarray(rng.randn(b, t, q, c).astype(np.float32))
+    mask_feats = jnp.asarray(rng.randn(t, 4, 4, c).astype(np.float32))
+    attn_feats = jnp.asarray(rng.randn(t, 2, 2, 2, c).astype(np.float32))
+    params = rs.init(jax.random.PRNGKey(0), fe, mask_feats,
+                     attn_feats)["params"]
+    full = rs.apply({"params": params}, fe, mask_feats, attn_feats)
+    final = rs.apply({"params": params}, fe,
+                     method=DecoupledTemporalResampler.final_embeds)
+    assert final.shape == (b, t, nq, c)
+    masks, biases = rs.apply(
+        {"params": params}, final.reshape(t, nq, c), mask_feats, attn_feats,
+        method=DecoupledTemporalResampler.predict_frames,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(masks, 0, 1)),
+        np.asarray(full["pred_masks_all"][-1, 0]), rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(final[0]), np.asarray(full["pred_embeds"][0]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 def test_brivis_train_step_freezes_stage1():
     cfg = brivis_tiny_config()
     rng = np.random.RandomState(0)

@@ -127,11 +127,50 @@ def test_optimizer_knob_and_embed_group():
     u_0, _ = (t0 := make_optimizer(cfg_0, params)).update(grads, t0.init(params), params)
     emb_wd = np.asarray(u_wd["segmenter"]["predictor"]["query_feat"]["embedding"])
     emb_0 = np.asarray(u_0["segmenter"]["predictor"]["query_feat"]["embedding"])
-    assert np.abs(emb_wd - emb_0).max() > 1e-3
+    # delta is exactly wd*lr*param = 10*1e-4*1 = 1e-3; allow equality
+    assert np.abs(emb_wd - emb_0).max() >= 9e-4
     np.testing.assert_array_equal(
         np.asarray(u_wd["segmenter"]["predictor"]["lin"]["kernel"]),
         np.asarray(u_0["segmenter"]["predictor"]["lin"]["kernel"]),
     )
+
+
+def test_swin_embed_groups_no_decay():
+    # relative_position_bias_table / absolute_pos_embed must land in the
+    # backbone embed group (wd=0); the reference forces their weight decay
+    # to 0.0 (train_net.py:168-170)
+    from openvis_tpu.parallel.train_step import label_params
+
+    params = {
+        "backbone": {
+            "layers0": {
+                "blocks0": {
+                    "attn": {
+                        "relative_position_bias_table": jnp.ones((9, 2)),
+                        "qkv": {"kernel": jnp.ones((8, 24))},
+                    }
+                }
+            },
+            "absolute_pos_embed": jnp.ones((1, 16, 8)),
+        }
+    }
+    labels = label_params(params)
+    attn = labels["backbone"]["layers0"]["blocks0"]["attn"]
+    assert attn["relative_position_bias_table"] == "backbone_embed"
+    assert attn["qkv"]["kernel"] == "backbone"
+    assert labels["backbone"]["absolute_pos_embed"] == "backbone_embed"
+
+
+def test_resampler_even_conv_kernels_rejected():
+    from openvis_tpu.models.resampler import TemporalResampler
+
+    rs = TemporalResampler(hidden_dim=16, feed_dim=32, nheads=2, nlayers=1,
+                           conv_kernels=(4, 3))
+    x = jnp.ones((1, 4, 2, 16))
+    mask_feats = jnp.ones((4, 4, 4, 16))
+    attn_feats = jnp.ones((4, 2, 2, 2, 16))
+    with pytest.raises(ValueError, match="conv_kernels"):
+        rs.init(jax.random.PRNGKey(0), x, mask_feats, attn_feats)
 
 
 def test_resampler_conv_kernels():
@@ -140,7 +179,9 @@ def test_resampler_conv_kernels():
     rs = TemporalResampler(hidden_dim=16, feed_dim=32, nheads=2, nlayers=1,
                            conv_kernels=(7, 5))
     x = jnp.ones((2, 6, 3, 16))  # (B, T, Q, C) layout per module docstring
-    params = rs.init(jax.random.PRNGKey(0), x)["params"]
+    mask_feats = jnp.ones((12, 4, 4, 16))   # (B*T, H, W, C)
+    attn_feats = jnp.ones((12, 2, 2, 2, 16))  # (B*T, nH, h, w, C)
+    params = rs.init(jax.random.PRNGKey(0), x, mask_feats, attn_feats)["params"]
     k1 = params["short0_conv1"]["kernel"]
     k2 = params["short0_conv2"]["kernel"]
     assert k1.shape[0] == 7 and k2.shape[0] == 5

@@ -208,14 +208,14 @@ def _offline_overrides(cfg, root, out_name):
 
 @pytest.mark.parametrize(
     "arch", ["SimpleBaseline", "VideoMaskFormer", "MasQCLIP", "SAN",
-             "BriVIS_decoupled"]
+             "BriVIS_decoupled", "BriVIS_raw"]
 )
 def test_offline_long_video_no_truncation(synth_root, arch):
     """Offline (single-shot) archs on videos longer than ``test.max_frames``
     must evaluate EVERY frame via the windowed decomposition (reference
     ``run_window_inference``, san.py:285-307 / simplebsl.py:237-238) — the
     round-2 path silently truncated at max_frames."""
-    if arch == "BriVIS_decoupled":
+    if arch in ("BriVIS_decoupled", "BriVIS_raw"):
         from tests.test_brivis import brivis_tiny_config
 
         cfg = brivis_tiny_config()
@@ -224,7 +224,7 @@ def test_offline_long_video_no_truncation(synth_root, arch):
             model=dataclasses.replace(
                 cfg.model,
                 resampler=dataclasses.replace(
-                    cfg.model.resampler, name="decoupled"
+                    cfg.model.resampler, name=arch.split("_")[1]
                 ),
             ),
         )

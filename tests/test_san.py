@@ -55,6 +55,58 @@ def test_adaptive_max_pool_matches_torch():
         np.testing.assert_allclose(ours, ref, rtol=1e-6)
 
 
+def test_post_encode_sos_split_matches_dense_bias():
+    """The sos-split post-encode (no (N, nH, S, S) bias materialization)
+    matches the reference's dense-bias formulation
+    (side_adapter.py:176-209, _build_attn_biases :237-270)."""
+    from openvis_tpu.models.side_adapter import SideAdapter
+
+    adapter = SideAdapter(clip_model_name="test-tiny", out_dims=16,
+                          broken_idx=3, merge_ids=(1, 2, 3), num_queries=8)
+    rng = np.random.RandomState(3)
+    n, q, nH = 2, 8, 4
+    frames = jnp.asarray(rng.rand(n, 48, 64, 3).astype(np.float32) * 255)
+    # test-tiny: patch 8, input_resolution 64 -> 8x8 grid
+    biases = jnp.asarray(rng.randn(n, nH, q, 16, 16).astype(np.float32))
+
+    def full(mdl, frames, biases):
+        _, bk, grid = mdl.front_encode(frames)
+        return bk, grid, mdl.post_encode(bk, biases, grid)
+
+    params = adapter.init(jax.random.PRNGKey(0), frames, biases,
+                          method=full)["params"]
+    bk_tokens, grid, got = adapter.apply({"params": params}, frames, biases,
+                                         method=full)
+
+    # dense reference path: run the post blocks with the full (S, S) bias
+    def dense(mdl, bk_tokens, attn_biases, grid_hw):
+        from openvis_tpu.models.side_adapter import adaptive_max_pool as amp_
+        n_, l1, wdt = bk_tokens.shape
+        h_, w_ = grid_hw
+        L = h_ * w_
+        ab = amp_(attn_biases, (h_, w_)).reshape(n_, nH, q, L)
+        S = q + 1 + L
+        base = jnp.zeros((S, S), bk_tokens.dtype)
+        base = base.at[:, :q].set(-100.0)
+        base = base.at[jnp.arange(q), jnp.arange(q)].set(0.0)
+        base = base.at[:q, q].set(-100.0)
+        bias = jnp.broadcast_to(base, (n_, nH, S, S))
+        bias = bias.at[:, :, :q, q + 1:].set(ab.astype(bk_tokens.dtype))
+        sos = jnp.broadcast_to(bk_tokens[:, :1], (n_, q, wdt))
+        x = jnp.concatenate([sos, bk_tokens], axis=1)
+        x, _ = mdl.visual.run_blocks(
+            x, mdl.broken_idx, mdl.visual.layers,
+            attn_bias=[bias] * (mdl.visual.layers - mdl.broken_idx),
+        )
+        out = mdl.visual.finalize(x[:, :q], project=True)
+        return out / (jnp.linalg.norm(out, axis=-1, keepdims=True) + 1e-6)
+
+    ref = adapter.apply({"params": params}, bk_tokens, biases, grid,
+                        method=dense)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_san_forward_and_loss():
     cfg = san_tiny_config()
     model = SANModel(cfg.model)

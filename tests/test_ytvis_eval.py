@@ -74,3 +74,49 @@ def test_missing_category_not_counted():
     ev.accumulate()
     res = ev.summarize()
     assert abs(res["AP"] - 1.0) < 1e-6
+
+
+def test_two_step_mask_resize_matches_torch_reference():
+    """The composed mask-resize pipeline (engine: 1/4-res logits -> padded
+    input size; evaluator: crop valid region -> original size -> `> 0`)
+    must match the reference's exact chain (`video_maskformer.py:263-298`:
+    masks pre-upsampled to the padded size, cropped to img_size, then
+    F.interpolate to output size) BITWISE on sign decisions — near-zero
+    boundary logits read the SIGN of interpolated values, so this is a
+    correctness property, not a tolerance one (VERDICT r4 weak #6)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    from openvis_tpu.evals.ytvis_eval import masks_to_video_rles
+    from openvis_tpu.utils.image import resize_bilinear_torch_hw
+
+    rng = np.random.RandomState(0)
+    t, hq, wq = 3, 16, 24            # 1/4-res mask logit grid
+    ph, pw = 64, 96                  # padded input canvas
+    image_size = (50, 81)            # valid region (crop)
+    orig = (37, 61)                  # original video size
+    # near-zero logits: every interpolation rounding decision flips a pixel
+    logits = (rng.randn(t, hq, wq) * 1e-3).astype(np.float32)
+
+    # our pipeline: engine upsample (device kernel) -> evaluator crop+resize
+    up = np.asarray(
+        resize_bilinear_torch_hw(jnp.asarray(logits), (ph, pw))
+    )
+    ours = masks_to_video_rles(up, image_size, orig)
+
+    # reference chain in real torch
+    tm = torch.from_numpy(logits)[None]
+    tm = F.interpolate(tm, size=(ph, pw), mode="bilinear", align_corners=False)
+    tm = tm[:, :, : image_size[0], : image_size[1]]
+    tm = F.interpolate(tm, size=orig, mode="bilinear", align_corners=False)
+    ref = (tm[0].numpy() > 0).astype(np.uint8)
+
+    from openvis_tpu.data import rle as rle_util
+
+    for f in range(t):
+        got = rle_util.decode(ours[f])
+        flips = int((got != ref[f]).sum())
+        assert flips == 0, f"frame {f}: {flips} sign flips vs torch reference"

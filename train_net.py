@@ -137,22 +137,25 @@ def main():
     # the global batch shards over the data axis: use at most ims_per_batch
     # devices, and require divisibility (reference build.py:26-35 asserts
     # the same; failing later inside device_put is much harder to read)
+    # mesh layout from ParallelConfig: data_axis -1 fills all (remaining)
+    # devices; time_axis > 1 adds a ("data", "time") axis the batch/window
+    # axes fold over (mesh.py make_mesh).  The clamp applies BEFORE the
+    # divisibility check so the check validates the FINAL device count.
+    par = cfg.parallel
+    t_ax = max(1, par.time_axis)
     if args.eval_only:
         n_dev = len(jax.devices())     # eval shards window groups
+        if par.data_axis != -1:
+            n_dev = min(n_dev, par.data_axis * t_ax)
     else:
         n_dev = min(len(jax.devices()), max(1, cfg.solver.ims_per_batch))
+        if par.data_axis != -1:
+            n_dev = min(n_dev, par.data_axis * t_ax)
         if cfg.solver.ims_per_batch % n_dev != 0:
             raise SystemExit(
                 f"solver.ims_per_batch={cfg.solver.ims_per_batch} must be "
                 f"divisible by the {n_dev} devices in the data mesh"
             )
-    # mesh layout from ParallelConfig: data_axis -1 fills all (remaining)
-    # devices; time_axis > 1 adds a ("data", "time") axis the batch/window
-    # axes fold over (mesh.py make_mesh)
-    par = cfg.parallel
-    t_ax = max(1, par.time_axis)
-    if par.data_axis != -1:
-        n_dev = min(n_dev, par.data_axis * t_ax)
     mesh = make_mesh(n_dev, time=t_ax)
     logger.info(
         "devices: %s (mesh %s uses %d)", jax.devices(), mesh.shape, n_dev
