@@ -32,10 +32,12 @@ _FLOPS = json.load(open(_FLOPS_PATH)) if os.path.exists(_FLOPS_PATH) else {}
 V5E_BF16_PEAK = 197e12  # dense bf16 FLOP/s per v5e chip
 
 
-def _mfu_fields(metric: str, calls_per_s: float) -> dict:
-    """flops + MFU fields for a metric line; {} when uncounted."""
+def _mfu_fields(metric: str, calls_per_s: float, tiny: bool = False) -> dict:
+    """flops + MFU fields for a metric line; {} when uncounted.  Tiny runs
+    skip them: FLOPS.json counts the FULL bench shapes, so pairing it with
+    toy-shape timings would print nonsense MFU."""
     ent = _FLOPS.get(metric)
-    if not ent:
+    if not ent or tiny:
         return {}
     return {
         "flops": ent["flops"],
@@ -124,7 +126,7 @@ def _bench_inference(cfg, arch, tiny):
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": None,
-        **_mfu_fields(f"{arch}_r50_inference", fps / t),
+        **_mfu_fields(f"{arch}_r50_inference", fps / t, tiny),
     }), flush=True)
 
 
@@ -188,15 +190,16 @@ def _bench_train_step(cfg, arch, tiny):
         "value": round(dt, 1),
         "unit": "ms/step",
         "vs_baseline": None,
-        **_mfu_fields(f"{arch}_r50_train_step", 1e3 / dt),
+        **_mfu_fields(f"{arch}_r50_train_step", 1e3 / dt, tiny),
     }), flush=True)
 
 
-def _bench_brivis_inference(cfg, tiny):
-    """BriVIS windowed-inference pipeline for one window, chained in ONE jit
-    (the engine's staged path: frozen frame stack -> MinVIS alignment ->
+def make_brivis_eval(cfg, tiny):
+    """Build the BriVIS windowed-inference closure + example args (the
+    engine's staged path: frozen frame stack -> MinVIS alignment ->
     temporal resample -> final-layer heads + biased CLIP; brivis.py:267-316
-    as resolved by engine._evaluate_brivis_windowed)."""
+    as resolved by engine._evaluate_brivis_windowed).  Shared by the bench
+    timing loop and tools/flops_count.py (which compile-counts it on CPU)."""
     from openvis_tpu.models.postprocess import inference_video_topk
     from openvis_tpu.models.tracking import apply_track_indices, track_by_embeds
     from openvis_tpu.train import build_model
@@ -232,9 +235,13 @@ def _bench_brivis_inference(cfg, tiny):
         probs = jax.nn.softmax(logits.mean(0), axis=-1)[..., :-1]
         return inference_video_topk(probs, jnp.swapaxes(masks, 0, 1), topk)
 
+    return eval_fn, params, frames.astype(jnp.bfloat16), \
+        text.astype(jnp.bfloat16), t
+
+
+def _bench_brivis_inference(cfg, tiny):
+    eval_fn, params, fb, tb, t = make_brivis_eval(cfg, tiny)
     jfn = jax.jit(eval_fn)
-    fb = frames.astype(jnp.bfloat16)
-    tb = text.astype(jnp.bfloat16)
     np.asarray(jfn(params, fb, tb)["scores"])  # compile + warm
     iters = 3 if tiny else 10
     t0 = time.perf_counter()
@@ -248,14 +255,15 @@ def _bench_brivis_inference(cfg, tiny):
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": None,
-        **_mfu_fields("brivis_r50_inference", fps / t),
+        **_mfu_fields("brivis_r50_inference", fps / t, tiny),
     }), flush=True)
 
 
-def _bench_openvis_inference(cfg, tiny):
-    """OpenVISOnline eval: class-agnostic proposals + tracking + chunked
-    mask-crop CLIP classification (openvis.py:110-147; the arch the repo is
-    named after), chained in ONE jit per window."""
+def make_openvis_eval(cfg, tiny):
+    """Build the OpenVISOnline eval closure + example args: class-agnostic
+    proposals + tracking + chunked mask-crop CLIP classification
+    (openvis.py:110-147; the arch the repo is named after), chained in ONE
+    jit per window.  Shared by the bench and tools/flops_count.py."""
     from openvis_tpu.engine import make_openvis_score_fn
     from openvis_tpu.models.clip.model import (
         CLIPVisionTransformer, _MODEL_SHAPES,
@@ -305,9 +313,13 @@ def _bench_openvis_inference(cfg, tiny):
         scores = jnp.where(qv[:, None], scores, 0.0)
         return inference_video_topk(scores, jnp.swapaxes(aligned, 0, 1), topk)
 
+    return eval_fn, params, frames.astype(jnp.bfloat16), \
+        text.astype(jnp.bfloat16), t
+
+
+def _bench_openvis_inference(cfg, tiny):
+    eval_fn, params, fb, tb, t = make_openvis_eval(cfg, tiny)
     jfn = jax.jit(eval_fn)
-    fb = frames.astype(jnp.bfloat16)
-    tb = text.astype(jnp.bfloat16)
     np.asarray(jfn(params, fb, tb)["scores"])  # compile + warm
     iters = 3 if tiny else 10
     t0 = time.perf_counter()
@@ -321,7 +333,7 @@ def _bench_openvis_inference(cfg, tiny):
         "value": round(fps, 2),
         "unit": "frames/s/chip",
         "vs_baseline": None,
-        **_mfu_fields("openvis_online_r50_inference", fps / t),
+        **_mfu_fields("openvis_online_r50_inference", fps / t, tiny),
     }), flush=True)
 
 

@@ -110,8 +110,16 @@ def roi_crop(
     if sr == 1:
         return out
     # average the sr*sr sub-samples per output bin (torchvision divides by
-    # the full count, including zeroed out-of-bounds samples)
-    return out.reshape(r, s, sr, s, sr, c).mean(axis=(2, 4))
+    # the full count, including zeroed out-of-bounds samples).  Strided
+    # slices, NOT reshape(r, s, sr, s, sr, c).mean((2, 4)): the 6-D form's
+    # trailing (sr, c) dims tile to (8, 128) on TPU — a ~170x padded
+    # layout that OOM'd at 1000 regions (25.7 GB for a 400 MB array).
+    acc = out[:, ::sr, ::sr, :]
+    for i in range(sr):
+        for j in range(sr):
+            if i or j:
+                acc = acc + out[:, i::sr, j::sr, :]
+    return acc / float(sr * sr)
 
 
 def clip_crop_classify(
@@ -127,31 +135,37 @@ def clip_crop_classify(
     sampling_ratio: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (logits (T, Q, K), valid (T, Q)).  Mirrors
-    ``ClipAdapter.forward`` + ``_preprocess_image`` (adapter.py:56-116)."""
+    ``ClipAdapter.forward`` + ``_preprocess_image`` (adapter.py:56-116).
+
+    Regions are processed ONE FRAME AT A TIME (``lax.map`` over T): the
+    all-at-once form gathers (T*Q, H, W, 3) source images plus four
+    (T*Q, S*sr, S*sr, 3) corner planes — ~9 GB live at T=10, Q=100 window
+    shapes, which OOM'd the 16 GB chip.  Per-frame, the live set is Q
+    regions (~0.8 GB) and the per-region math is exactly the same."""
     t, q, h, w = masks.shape
-    r = t * q
-    flat_masks = masks.reshape(r, h, w)
-    boxes, valid = mask_square_boxes(flat_masks)
+    mean = jnp.asarray(CLIP_PIXEL_MEAN, frames_raw.dtype)
+    std = jnp.asarray(CLIP_PIXEL_STD, frames_raw.dtype)
 
-    # gather each region's source frame
-    frame_ids = jnp.repeat(jnp.arange(t), q)
-    imgs = frames_raw[frame_ids]                         # (R, H, W, 3)
-    crops = roi_crop(imgs, boxes * mask_stride, input_resolution,
-                     sampling_ratio=sampling_ratio)
-    mask_crops = roi_crop(
-        flat_masks[..., None], boxes, input_resolution,
-        sampling_ratio=sampling_ratio,
-    )                                                    # (R, S, S, 1)
-    blended = crops * mask_crops                          # bg -> 0 (adapter.py:115)
+    def per_frame(args):
+        frame, masks_f = args                            # (H,W,3), (Q,h,w)
+        boxes, valid = mask_square_boxes(masks_f)
+        imgs = jnp.broadcast_to(frame, (q,) + frame.shape)
+        crops = roi_crop(imgs, boxes * mask_stride, input_resolution,
+                         sampling_ratio=sampling_ratio)
+        mask_crops = roi_crop(
+            masks_f[..., None], boxes, input_resolution,
+            sampling_ratio=sampling_ratio,
+        )                                                # (Q, S, S, 1)
+        blended = crops * mask_crops                     # bg -> 0 (adapter.py:115)
+        clip_in = (blended / 255.0 - mean) / std
+        feats = visual_apply(clip_in)                    # (Q, D)
+        feats = feats / (
+            jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6
+        )
+        return temperature * feats @ text_feats.T, valid  # (Q, K), (Q,)
 
-    mean = jnp.asarray(CLIP_PIXEL_MEAN, blended.dtype)
-    std = jnp.asarray(CLIP_PIXEL_STD, blended.dtype)
-    clip_in = (blended / 255.0 - mean) / std
-
-    feats = visual_apply(clip_in)                        # (R, D)
-    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6)
-    logits = temperature * feats @ text_feats.T          # (R, K)
-    return logits.reshape(t, q, -1), valid.reshape(t, q)
+    logits, valid = jax.lax.map(per_frame, (frames_raw, masks))
+    return logits, valid
 
 
 def frame_average_scores(

@@ -243,22 +243,27 @@ def adapted_clip_crop_classify(
     mask-prompted tower (``forward`` :68-71; the tower ceils its patch
     pooling, ``model.py:330-334``, so any covered pixel marks the patch)."""
     t, q, h, w = masks.shape
-    r = t * q
-    flat_masks = masks.reshape(r, h, w)
-    boxes, valid = mask_square_boxes(flat_masks)
-    frame_ids = jnp.repeat(jnp.arange(t), q)
-    crops = roi_crop(
-        frames_raw[frame_ids], boxes * mask_stride, input_resolution,
-        sampling_ratio=sampling_ratio,
-    )
-    mask_crops = roi_crop(flat_masks[..., None], boxes, input_resolution,
-                          sampling_ratio=sampling_ratio)[..., 0]
+    mean = jnp.asarray(CLIP_PIXEL_MEAN, frames_raw.dtype)
+    std = jnp.asarray(CLIP_PIXEL_STD, frames_raw.dtype)
 
-    mean = jnp.asarray(CLIP_PIXEL_MEAN, crops.dtype)
-    std = jnp.asarray(CLIP_PIXEL_STD, crops.dtype)
-    blended = crops * mask_crops[..., None]
-    clip_in = (blended / 255.0 - mean) / std
-    feats = visual_apply(clip_in, mask_crops if mask_prompt_fwd else None)
-    feats = feats / (jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6)
-    logits = temperature * feats @ text_feats.T
-    return logits.reshape(t, q, -1), valid.reshape(t, q)
+    # one frame at a time (lax.map over T) — the all-at-once region form
+    # gathers ~9 GB of corner planes at window shapes and OOMs; see
+    # clip_adapter.clip_crop_classify
+    def per_frame(args):
+        frame, masks_f = args                            # (H,W,3), (Q,h,w)
+        boxes, valid = mask_square_boxes(masks_f)
+        imgs = jnp.broadcast_to(frame, (q,) + frame.shape)
+        crops = roi_crop(imgs, boxes * mask_stride, input_resolution,
+                         sampling_ratio=sampling_ratio)
+        mask_crops = roi_crop(masks_f[..., None], boxes, input_resolution,
+                              sampling_ratio=sampling_ratio)[..., 0]
+        blended = crops * mask_crops[..., None]
+        clip_in = (blended / 255.0 - mean) / std
+        feats = visual_apply(clip_in, mask_crops if mask_prompt_fwd else None)
+        feats = feats / (
+            jnp.linalg.norm(feats, axis=-1, keepdims=True) + 1e-6
+        )
+        return temperature * feats @ text_feats.T, valid
+
+    logits, valid = jax.lax.map(per_frame, (frames_raw, masks))
+    return logits, valid

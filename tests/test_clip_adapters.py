@@ -185,19 +185,23 @@ def test_adapted_crop_classify():
     # (mask_adapted_adapter.py:117-121) and only the prompt forwarding is
     # gated by mask_prompt_fwd (:68-71): with a visual that ignores the
     # prompt, both modes must see the SAME blended pixels
-    seen = {}
+    # the classify body now runs under lax.map (per-frame region chunking),
+    # so pixels are recorded through a debug callback (tracers cannot be
+    # materialized at trace time) and the prompt flag at trace time
+    pixels, prompted = [], []
 
     def recording_visual(imgs, m):
-        seen[len(seen)] = (np.asarray(imgs), None if m is None else 1)
+        jax.debug.callback(lambda a: pixels.append(np.asarray(a)), imgs)
+        prompted.append(m is not None)
         return imgs.mean(axis=(1, 2)) @ jnp.ones((3, D))
 
-    adapted_clip_crop_classify(
+    jax.block_until_ready(adapted_clip_crop_classify(
         recording_visual, frames, jnp.asarray(masks), jnp.asarray(text),
         input_resolution=32, mask_prompt_fwd=True,
-    )
-    adapted_clip_crop_classify(
+    ))
+    jax.block_until_ready(adapted_clip_crop_classify(
         recording_visual, frames, jnp.asarray(masks), jnp.asarray(text),
         input_resolution=32, mask_prompt_fwd=False,
-    )
-    np.testing.assert_allclose(seen[0][0], seen[1][0])
-    assert seen[0][1] == 1 and seen[1][1] is None
+    ))
+    np.testing.assert_allclose(pixels[0], pixels[1])
+    assert prompted == [True, False]

@@ -109,18 +109,20 @@ def bench_parts(tag, b, levels, dtype, iters=6):
     ).reshape(b, lq, nh, nl, p)
     g = jnp.asarray(rng.randn(b, lq, nh * ch).astype(np.float32)).astype(dtype)
 
-    for name, parts, dck, drr in (
-            ("dvalue", ("dvalue",), False, True),
-            ("dcoord_rr", ("dcoord",), False, True),
-            ("dcoord_xfirst", ("dcoord",), False, False),
-            ("dcoord_packed", ("dcoord",), True, False),
-            ("both", ("dvalue", "dcoord"), False, True)):
-        def chain(v, l, a, gg, parts=parts, dck=dck, drr=drr):
+    for name, parts, dck, drr, bq in (
+            ("dvalue", ("dvalue",), False, True, 128),
+            ("dcoord_rr", ("dcoord",), False, True, 128),
+            ("dcoord_rr_bq256", ("dcoord",), False, True, 256),
+            ("dcoord_rr_bq64", ("dcoord",), False, True, 64),
+            ("dcoord_xfirst", ("dcoord",), False, False, 128),
+            ("dcoord_packed", ("dcoord",), True, False, 128),
+            ("both", ("dvalue", "dcoord"), False, True, 128)):
+        def chain(v, l, a, gg, parts=parts, dck=dck, drr=drr, bq=bq):
             s = jnp.zeros((), jnp.float32)
             for _ in range(CH):
                 outs = _msda_bwd_fused(
                     v + s.astype(v.dtype) * 0, l, a, gg, levels, parts=parts,
-                    dcoord_pack=dck, dcoord_rr=drr,
+                    dcoord_pack=dck, dcoord_rr=drr, bq=bq,
                 )
                 s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
             return s

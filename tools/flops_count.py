@@ -52,6 +52,18 @@ def eval_flops(arch: str, tiny: bool) -> float:
     )
 
 
+def staged_eval_flops(arch: str, tiny: bool) -> float:
+    """BriVIS / OpenVISOnline eval closures (bench.make_{brivis,openvis}_eval
+    — the staged window pipelines, not make_eval_fn)."""
+    from bench import _bench_cfg, make_brivis_eval, make_openvis_eval
+    from openvis_tpu.utils.flops import xla_cost_flops
+
+    cfg = _bench_cfg(arch, 40)
+    mk = make_brivis_eval if arch == "brivis" else make_openvis_eval
+    eval_fn, params, fb, tb, _ = mk(cfg, tiny)
+    return xla_cost_flops(eval_fn, params, fb, tb)
+
+
 def train_flops(arch: str, tiny: bool) -> float:
     from bench import _bench_cfg
     from openvis_tpu.parallel.train_step import (
@@ -64,7 +76,8 @@ def train_flops(arch: str, tiny: bool) -> float:
     cfg = _bench_cfg(arch, 40)
     K, D = cfg.model.num_classes, 512
     rng = np.random.RandomState(0)
-    t, h, w, n = (2, 96, 160, 8) if tiny else (2, 480, 864, 40)
+    tt = 3 if arch == "brivis" else 2  # BriVIS trains on T=3 clips (bench)
+    t, h, w, n = (tt, 96, 160, 8) if tiny else (tt, 480, 864, 40)
     text = rng.randn(K, D).astype(np.float32)
     text = jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True))
     batch = {
@@ -102,11 +115,25 @@ def main():
         out[f"{arch}_r50_inference"] = {"flops": eval_flops(arch, tiny)}
         print(f"{arch} eval: {out[f'{arch}_r50_inference']['flops']:.3e}",
               file=sys.stderr, flush=True)
-    out["simplebsl_online_r50_train_step"] = {
-        "flops": train_flops("simplebsl_online", tiny)
-    }
-    print(f"train: {out['simplebsl_online_r50_train_step']['flops']:.3e}",
-          file=sys.stderr, flush=True)
+    for arch in ("brivis", "openvis_online"):
+        try:
+            out[f"{arch}_r50_inference"] = {
+                "flops": staged_eval_flops(arch, tiny)
+            }
+            print(f"{arch} eval: {out[f'{arch}_r50_inference']['flops']:.3e}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # one arch must not cost the file
+            print(f"{arch} eval flops failed: {e!r}", file=sys.stderr,
+                  flush=True)
+    for arch in ("simplebsl_online", "san_online", "brivis"):
+        try:
+            out[f"{arch}_r50_train_step"] = {"flops": train_flops(arch, tiny)}
+            print(f"{arch} train: "
+                  f"{out[f'{arch}_r50_train_step']['flops']:.3e}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"{arch} train flops failed: {e!r}", file=sys.stderr,
+                  flush=True)
     dst = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "FLOPS.json")
     if tiny:
