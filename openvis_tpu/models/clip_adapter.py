@@ -50,6 +50,61 @@ def mask_square_boxes(masks: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return boxes, valid
 
 
+def _axis_taps(
+    lo: jax.Array,       # (R,) box start on this axis
+    hi: jax.Array,       # (R,) box end
+    size: int,           # source extent on this axis
+    s: int,              # out_size
+    sr: int,             # sampling_ratio
+    tk: int,             # static tap-window width
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-axis fold of roi_align's sub-sample average into a ``tk``-wide
+    tap window: returns (base (R, s) int32 first source index, weights
+    (R, s, tk) f32 — sub-sample tents x in-bounds indicator, pre-divided by
+    sr).  Bilinear sampling, the sr-average, the [-1, size] zero cut and
+    the edge clamp all factor per-axis, so the 2-D sample mean is EXACTLY
+    the outer product of these 1-D windows (see roi_crop)."""
+    scale = (hi - lo) / s                                   # (R,)
+    # sub-sample positions: (j*sr + k + 0.5)/sr bins, k in [0, sr)
+    grid = (jnp.arange(s * sr, dtype=jnp.float32) + 0.5) / sr
+    cx = lo[:, None] + grid[None, :] * scale[:, None]       # (R, s*sr)
+    inb = (cx >= -1.0) & (cx <= size)
+    cx = jnp.clip(cx, 0.0, size - 1)
+    fx = jnp.floor(cx)
+    lx = cx - fx
+    fi = fx.astype(jnp.int32)
+    fi = fi.reshape(-1, s, sr)
+    lx = lx.reshape(-1, s, sr)
+    inb = inb.reshape(-1, s, sr)
+    base = fi[:, :, 0]                                      # (R, s)
+    off = fi - base[:, :, None]                             # (R, s, sr) >= 0
+    wts = jnp.zeros(base.shape + (tk,), jnp.float32)
+    contrib = jnp.where(inb, 1.0, 0.0) / sr
+    for j in range(tk):
+        wts = wts.at[..., j].add(jnp.where(
+            off == j, (1.0 - lx) * contrib, 0.0
+        ).sum(-1))
+        if j:
+            wts = wts.at[..., j].add(jnp.where(
+                off == j - 1, lx * contrib, 0.0
+            ).sum(-1))
+    return base, wts
+
+
+def _tap_width(size: int, s: int, sr: int) -> int:
+    """Static tap-window bound: sub-samples of one output bin spread
+    ``scale*(sr-1)/sr`` source pixels; bilinear adds one tap each side.
+
+    CONTRACT: box spans must not exceed ``size`` (callers pass
+    ``size = max(H, W)`` and boxes from :func:`mask_square_boxes`, whose
+    square side is at most the larger image extent).  A larger span would
+    need taps beyond the static window and silently drop weight."""
+    max_scale = max(1.0, size / s)
+    import math
+
+    return 2 + int(math.ceil(max_scale * (sr - 1) / sr))
+
+
 def roi_crop(
     images: jax.Array,   # (R, H, W, C) — image per region (pre-gathered)
     boxes: jax.Array,    # (R, 4) xyxy
@@ -65,61 +120,58 @@ def roi_crop(
     per bin) — with a STATIC ``sampling_ratio`` (the reference's adaptive
     per-roi grid count ``ceil(roi/out)`` (adapter.py:106-111) is
     data-dependent and cannot trace with static shapes; ``sampling_ratio=2``
-    halves the sampling-density gap on large crops)."""
-    r, h, w, c = images.shape
+    halves the sampling-density gap on large crops).
+
+    TPU form: the 2-D sample mean factorizes exactly into per-axis tap
+    windows (bilinear tents, the sr-average, the [-1, size] zero cut and
+    the edge clamp are all separable), so each output pixel is a
+    ``tk x tk`` stencil instead of ``(2*sr)^2`` point samples.  Each axis
+    is then applied as ``tk`` WHOLE-ROW gathers + tent FMAs (x first, on a
+    once-transposed image, then y on the x-resampled intermediate).  The
+    naive form — 4 advanced-indexing gathers of (1, 1, 1, C) elements —
+    serializes on TPU (~20M descriptors per eval frame, measured 27 s per
+    10-frame window); row gathers move the same bytes in ~1000x fewer,
+    4 KB-wide fetches.
+
+    ``images`` may have leading dim 1 with many boxes (one shared source
+    image): rows are then fetched with unbatched flat gathers and the
+    (R, W, H, C) broadcast-transpose never materializes."""
+    _, h, w, c = images.shape
+    r = boxes.shape[0]
     sr = sampling_ratio
     s = out_size
-    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
-    sx = (x1 - x0) / s
-    sy = (y1 - y0) / s
-    # sub-sample positions in bin units: idx = j*sr + k -> (idx + 0.5)/sr
-    grid = (jnp.arange(s * sr, dtype=jnp.float32) + 0.5) / sr
-    cx = x0[:, None] + grid[None, :] * sx[:, None]         # (R, S*sr)
-    cy = y0[:, None] + grid[None, :] * sy[:, None]
-    # roi_align: samples beyond 1px outside are zero; within, clamp to edge
-    inb = ((cy[:, :, None] >= -1.0) & (cy[:, :, None] <= h)
-           & (cx[:, None, :] >= -1.0) & (cx[:, None, :] <= w))
-    cx = jnp.clip(cx, 0.0, w - 1)
-    cy = jnp.clip(cy, 0.0, h - 1)
 
-    x0i = jnp.floor(cx).astype(jnp.int32)
-    y0i = jnp.floor(cy).astype(jnp.int32)
-    lx = (cx - x0i).astype(images.dtype)
-    ly = (cy - y0i).astype(images.dtype)
+    # square boxes: either axis's span can reach max(h, w) (mask_square_boxes
+    # sides), so both tap windows are bounded by the larger extent
+    tk = _tap_width(max(h, w), s, sr)
+    bx, wx = _axis_taps(boxes[:, 0], boxes[:, 2], w, s, sr, tk)
+    by, wy = _axis_taps(boxes[:, 1], boxes[:, 3], h, s, sr, tk)
+    wx = wx.astype(images.dtype)
+    wy = wy.astype(images.dtype)
 
-    def gather(yy, xx):
-        yy = jnp.clip(yy, 0, h - 1)
-        xx = jnp.clip(xx, 0, w - 1)
-        # (R, S*sr, S*sr, C) via advanced indexing per region
-        ridx = jnp.arange(r)[:, None, None]
-        return images[ridx, yy[:, :, None], xx[:, None, :], :]
+    # x pass on the transposed image: out columns become gatherable ROWS
+    imt = jnp.swapaxes(images, 1, 2)                        # (R|1, W, H, C)
+    shared = images.shape[0] == 1
+    acc = None
+    for j in range(wx.shape[-1]):
+        idx = jnp.clip(bx + j, 0, w - 1)                    # (R, s)
+        if shared:
+            rows = jnp.take(imt[0], idx.reshape(-1), axis=0).reshape(
+                r, s, h, c
+            )
+        else:
+            rows = jnp.take_along_axis(imt, idx[:, :, None, None], axis=1)
+        term = rows * wx[:, :, None, j : j + 1]
+        acc = term if acc is None else acc + term
+    acc = jnp.swapaxes(acc, 1, 2)                           # (R, H, s, C)
 
-    g00 = gather(y0i, x0i)
-    g01 = gather(y0i, x0i + 1)
-    g10 = gather(y0i + 1, x0i)
-    g11 = gather(y0i + 1, x0i + 1)
-    ly_ = ly[:, :, None, None]
-    lx_ = lx[:, None, :, None]
-    out = (
-        g00 * (1 - ly_) * (1 - lx_)
-        + g01 * (1 - ly_) * lx_
-        + g10 * ly_ * (1 - lx_)
-        + g11 * ly_ * lx_
-    )
-    out = jnp.where(inb[..., None], out, 0.0)
-    if sr == 1:
-        return out
-    # average the sr*sr sub-samples per output bin (torchvision divides by
-    # the full count, including zeroed out-of-bounds samples).  Strided
-    # slices, NOT reshape(r, s, sr, s, sr, c).mean((2, 4)): the 6-D form's
-    # trailing (sr, c) dims tile to (8, 128) on TPU — a ~170x padded
-    # layout that OOM'd at 1000 regions (25.7 GB for a 400 MB array).
-    acc = out[:, ::sr, ::sr, :]
-    for i in range(sr):
-        for j in range(sr):
-            if i or j:
-                acc = acc + out[:, i::sr, j::sr, :]
-    return acc / float(sr * sr)
+    out = None
+    for j in range(wy.shape[-1]):
+        idx = jnp.clip(by + j, 0, h - 1)                    # (R, s)
+        rows = jnp.take_along_axis(acc, idx[:, :, None, None], axis=1)
+        term = rows * wy[:, :, None, j : j + 1]
+        out = term if out is None else out + term
+    return out                                              # (R, s, s, C)
 
 
 def clip_crop_classify(
@@ -149,8 +201,7 @@ def clip_crop_classify(
     def per_frame(args):
         frame, masks_f = args                            # (H,W,3), (Q,h,w)
         boxes, valid = mask_square_boxes(masks_f)
-        imgs = jnp.broadcast_to(frame, (q,) + frame.shape)
-        crops = roi_crop(imgs, boxes * mask_stride, input_resolution,
+        crops = roi_crop(frame[None], boxes * mask_stride, input_resolution,
                          sampling_ratio=sampling_ratio)
         mask_crops = roi_crop(
             masks_f[..., None], boxes, input_resolution,

@@ -252,8 +252,7 @@ def adapted_clip_crop_classify(
     def per_frame(args):
         frame, masks_f = args                            # (H,W,3), (Q,h,w)
         boxes, valid = mask_square_boxes(masks_f)
-        imgs = jnp.broadcast_to(frame, (q,) + frame.shape)
-        crops = roi_crop(imgs, boxes * mask_stride, input_resolution,
+        crops = roi_crop(frame[None], boxes * mask_stride, input_resolution,
                          sampling_ratio=sampling_ratio)
         mask_crops = roi_crop(masks_f[..., None], boxes, input_resolution,
                               sampling_ratio=sampling_ratio)[..., 0]

@@ -95,7 +95,11 @@ def test_roi_crop_matches_numpy_oracle(sr):
     for box in ([4.0, 2.0, 28.0, 20.0],      # partially out of bounds (x)
                 [0.0, 0.0, 36.0, 24.0],      # full image
                 [10.5, 3.25, 19.5, 12.25],   # fractional interior
-                [-6.0, -4.0, 10.0, 12.0]):   # out of bounds (negative)
+                [-6.0, -4.0, 10.0, 12.0],    # out of bounds (negative)
+                [-5.0, -8.0, 31.0, 28.0],    # max-side box (side == max(h,w)
+                                             # — the separable tap-window
+                                             # contract's worst case)
+                [3.0, 20.0, 39.0, 56.0]):    # max-side, far out at bottom
         ours = np.asarray(roi_crop(
             jnp.asarray(img), jnp.asarray([box]), 8, sampling_ratio=sr
         ))

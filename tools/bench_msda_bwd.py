@@ -112,8 +112,9 @@ def bench_parts(tag, b, levels, dtype, iters=6):
     for name, parts, dck, drr, bq in (
             ("dvalue", ("dvalue",), False, True, 128),
             ("dcoord_rr", ("dcoord",), False, True, 128),
+            # bq256 measured WORSE (15.86 vs 10.34 ms: query hulls widen);
+            # bq64 is illegal (out_spec minor dim must be 128-divisible)
             ("dcoord_rr_bq256", ("dcoord",), False, True, 256),
-            ("dcoord_rr_bq64", ("dcoord",), False, True, 64),
             ("dcoord_xfirst", ("dcoord",), False, False, 128),
             ("dcoord_packed", ("dcoord",), True, False, 128),
             ("both", ("dvalue", "dcoord"), False, True, 128)):
