@@ -68,6 +68,12 @@ def label_params(params, freeze_prefixes=(), freeze_at: int = 0) -> Any:
         for pref in freeze_prefixes:
             if p.startswith(pref.lower()):
                 return "frozen"
+        # SAN-family CLIP tower: the reference freezes the whole clip_model
+        # (side_adapter.py:101 freeze_params) while attn_projs / bg_embed /
+        # logit_scale stay trainable.  MasQCLIP's tower lives under
+        # clip_adapter/resblock* (graph-structural freeze), untouched here.
+        if "clip_adapter/visual/" in f"/{p}/":
+            return "frozen"
         if freeze_at > 0 and "/backbone/" in f"/{p}/":
             seg = p.split("backbone/", 1)[1].split("/", 1)[0]
             stage = _backbone_stage(seg)
@@ -105,6 +111,39 @@ def label_params(params, freeze_prefixes=(), freeze_at: int = 0) -> Any:
     return jax.tree_util.tree_map_with_path(label, params)
 
 
+def config_labels(cfg: Config, params) -> Any:
+    """Param labels for the config's freeze settings — shared by
+    :func:`make_optimizer` (zero updates) and ``train.make_loss_fn``
+    (``stop_gradient``, the ``requires_grad=False`` analog)."""
+    freeze_prefixes = (
+        ("segmenter", "clip_adapter") if cfg.model.freeze_segmenter else ()
+    )
+    return label_params(
+        params, freeze_prefixes, freeze_at=cfg.model.backbone.freeze_at
+    )
+
+
+def stop_frozen_gradients(cfg: Config, params):
+    """``lax.stop_gradient`` on every 'frozen'-labeled param — the torch
+    ``requires_grad=False`` analog (reference ``freeze_params``,
+    ``side_adapter.py:18-23``; BriVIS stage-2 ``brivis.py:36-41``).  Two
+    effects the optimizer-level ``set_to_zero`` alone cannot give:
+
+      * the frozen subtrees' backward chains (param cotangent matmuls, and
+        for purely-frozen ancestries like SAN's CLIP front encode the whole
+        activation backward) dead-code-eliminate out of the train step;
+      * their grads are EXACT zeros, so the global grad-clip norm matches
+        torch's ``clip_grad_norm_`` over requires-grad params — with
+        computed-then-discarded grads in the norm, clipping (0.01 in every
+        recipe) rescaled the real gradients by the wrong factor.
+    """
+    labels = config_labels(cfg, params)
+    return jax.tree.map(
+        lambda p, l: jax.lax.stop_gradient(p) if l == "frozen" else p,
+        params, labels,
+    )
+
+
 def make_lr_schedule(cfg: Config) -> optax.Schedule:
     s = cfg.solver
     boundaries = {int(b): s.gamma for b in s.steps}
@@ -140,12 +179,7 @@ def make_optimizer(cfg: Config, params) -> optax.GradientTransformation:
             scale,
         )
 
-    freeze_prefixes = (
-        ("segmenter", "clip_adapter") if cfg.model.freeze_segmenter else ()
-    )
-    labels = label_params(
-        params, freeze_prefixes, freeze_at=cfg.model.backbone.freeze_at
-    )
+    labels = config_labels(cfg, params)
     tx = optax.multi_transform(
         {
             "main": group(1.0, s.weight_decay),

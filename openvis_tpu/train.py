@@ -111,9 +111,15 @@ def make_loss_fn(
         )
 
     def loss_fn(params, batch, rng) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        from openvis_tpu.parallel.train_step import stop_frozen_gradients
+
         pixels = batch["pixels"]  # (B, T, H, W, 3)
         b, t, h, w, _ = pixels.shape
         frames = pixels.reshape(b * t, h, w, 3)
+        # requires_grad=False analog: frozen subtrees' backward DCEs away
+        # and the grad-clip norm sees exact zeros for them (see
+        # train_step.stop_frozen_gradients)
+        params = stop_frozen_gradients(cfg, params)
         apply_params = params
         if amp:
             # torch.cuda.amp analog (reference train_net.py AMP=True): run

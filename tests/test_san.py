@@ -146,3 +146,49 @@ def test_san_forward_and_loss():
     g = jax.grad(f)(params)
     assert float(jnp.abs(g["clip_adapter"]["bg_embed"]).sum()) > 0
     assert float(jnp.abs(g["segmenter"]["predictor"]["heads"]["attn_embed"]["layer0"]["kernel"]).sum()) > 0
+
+
+def test_san_clip_frozen_stop_gradient():
+    """SAN freezes the whole CLIP tower (reference freeze_params,
+    side_adapter.py:101): through make_loss_fn, clip_adapter/visual grads
+    must be EXACT zeros (stop_gradient — so the global grad-clip norm
+    matches torch clip_grad_norm_ over requires-grad params and the frozen
+    backward DCEs away) while attn_projs / bg_embed keep training."""
+    from openvis_tpu.parallel.train_step import config_labels
+    from openvis_tpu.train import make_loss_fn
+
+    cfg = san_tiny_config()
+    model = SANModel(cfg.model)
+    rng = np.random.RandomState(0)
+    text = rng.randn(K, D).astype(np.float32)
+    text = jnp.asarray(text / np.linalg.norm(text, axis=-1, keepdims=True))
+    batch = {
+        "pixels": jnp.asarray(rng.randn(B, T, H, W, 3).astype(np.float32)),
+        "targets": ClipTargets(
+            labels=jnp.asarray(rng.randint(0, K, (B, N)), jnp.int32),
+            masks=jnp.asarray(
+                (rng.rand(B, N, T, H, W) > 0.9).astype(np.float32)
+            ),
+            valid=jnp.ones((B, N), bool),
+            frame_valid=jnp.ones((B, N, T), bool),
+        ),
+        "text_feats": text,
+    }
+    frames = batch["pixels"].reshape(B * T, H, W, 3)
+    params = model.init(jax.random.PRNGKey(0), frames, T, text)["params"]
+
+    labels = config_labels(cfg, params)
+    assert labels["clip_adapter"]["visual"]["class_embedding"] == "frozen"
+    assert labels["clip_adapter"]["attn_proj0"]["kernel"] != "frozen"
+    assert labels["clip_adapter"]["bg_embed"] != "frozen"
+
+    loss_fn = make_loss_fn(cfg, model, K)
+    g = jax.grad(lambda p: loss_fn(p, batch, jax.random.PRNGKey(1))[0])(
+        params
+    )
+    assert all(
+        float(jnp.abs(x).max()) == 0.0
+        for x in jax.tree.leaves(g["clip_adapter"]["visual"])
+    )
+    assert float(jnp.abs(g["clip_adapter"]["attn_proj0"]["kernel"]).max()) > 0
+    assert float(jnp.abs(g["clip_adapter"]["bg_embed"]).max()) > 0
