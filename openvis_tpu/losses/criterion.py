@@ -38,8 +38,8 @@ from openvis_tpu.ops.hungarian import batched_hungarian
 from openvis_tpu.ops.select import kth_largest
 from openvis_tpu.ops.point_sample import (
     _PALLAS_MAX_HW,
-    corner_pack_rows_t,
-    sample_maps_packed,
+    bit_pack_rows_t,
+    sample_maps_packed_bits,
     sample_maps_shared,
     sample_maps_shared_t,
     sorted_uniform_points,
@@ -62,10 +62,13 @@ def target_rows_t(
 
     ``pack`` is an EXPLICIT caller decision (no hidden backend probe — an
     implicit jax.default_backend() switch here once inverted the layouts
-    profile_criterion compared): True corner-packs the rows into a
-    (B, TH*TW, 4R) table so each sampled point on the full-res gather path
-    costs ONE row gather instead of four, at 4x the table's HBM residency.
-    Callers inside the criterion derive it via :func:`_pack_targets`."""
+    profile_criterion compared): True BIT-packs the 0/1 rows into a
+    (B, TH*TW, 4*ceil(R/32)) uint32 corner table so each sampled point on
+    the full-res gather path costs ONE gather of a single lane-tile row
+    (640 B of bf16 corners -> 48 B of bits at R=80; the gather is
+    tile-fetch-bound) at ~1/13 the bf16 table's HBM residency.  Exact:
+    target masks are 0/1 by construction (bit_pack_rows_t).  Callers
+    inside the criterion derive it via :func:`_pack_targets`."""
     b, n, t = targets.masks.shape[:3]
     th, tw = targets.masks.shape[-2:]
     flat = targets.masks.astype(dtype).reshape(b, n * t, th * tw)
@@ -73,17 +76,15 @@ def target_rows_t(
     if pack and th * tw > _PALLAS_MAX_HW:
         # only the row-GATHER path (full-res targets) benefits: low-res
         # targets route through the Pallas tent-matmul sampler, which
-        # expects the plain layout.  _sample_targets dispatches on width.
-        rows = corner_pack_rows_t(rows, th, tw)
+        # expects the plain layout.  _sample_targets dispatches on dtype.
+        rows = bit_pack_rows_t(rows, th, tw)
     return rows
 
 
 def _pack_targets(s: "CriterionSettings", th: int, tw: int) -> bool:
     """Packing policy for the criterion's own target tables: gated by the
-    settings flag (memory-tight runs can fall back to the 4-gather
-    composition — the packed table quadruples the full-res target rows'
-    HBM residency for a measured ~21% stage gain), and only worthwhile on
-    the TPU gather path."""
+    settings flag (the escape hatch to the 4-gather composition), and only
+    worthwhile on the TPU gather path."""
     return (
         s.packed_targets
         and th * tw > _PALLAS_MAX_HW
@@ -93,10 +94,12 @@ def _pack_targets(s: "CriterionSettings", th: int, tw: int) -> bool:
 
 def _sample_targets(tgt_t, n_rows: int, th: int, tw: int, coords, f32p: bool):
     """Sample target rows at shared points from EITHER target layout:
-    plain (B, TH*TW, R) rows, or the corner-packed (B, TH*TW, 4R) table
+    plain (B, TH*TW, R) rows, or the bit-packed uint32 corner table
     ``target_rows_t`` builds for the full-res gather path."""
-    if tgt_t.shape[-1] == 4 * n_rows:
-        return sample_maps_packed(tgt_t, th, tw, coords, f32_policy=f32p)
+    if tgt_t.dtype == jnp.uint32:
+        return sample_maps_packed_bits(
+            tgt_t, n_rows, th, tw, coords, f32_policy=f32p
+        )
     return sample_maps_shared_t(tgt_t, th, tw, coords, f32_policy=f32p)
 
 

@@ -179,6 +179,107 @@ def sample_maps_packed(
     )(tbl, coords)
 
 
+def _bit_words(r: int) -> int:
+    """uint32 words per corner segment (rows padded to a word boundary)."""
+    return -(-r // 32)
+
+
+def bit_pack_rows_t(flat_t: jax.Array, h: int, w: int) -> jax.Array:
+    """BINARY-mask variant of :func:`corner_pack_rows_t`: (B, H*W, R) 0/1
+    rows -> (B, H*W, 4*ceil(R/32)) uint32, corner segment ``c`` in words
+    ``[c*W32, (c+1)*W32)`` with row ``r`` at bit ``r % 32`` of word
+    ``r // 32``.
+
+    The criterion's target masks are exactly 0/1 (dataset RLE decodes; the
+    corner-packed bf16 table already relies on this for bf16-exactness), so
+    each row compresses 4R bf16 lanes -> 4*ceil(R/32) uint32 lanes — at
+    R=80 that is 640 B -> 48 B per gathered row, one lane-tile fetch
+    instead of three (the gather is tile-fetch-bound, BASELINE.md), and
+    ~13x less table HBM residency.  Unpacking is a constant lane-index
+    broadcast + shift + mask."""
+    b, hw, r = flat_t.shape
+    w32 = _bit_words(r)
+    bits = (flat_t > 0.5).astype(jnp.uint32)
+    pad = w32 * 32 - r
+    if pad:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((b, hw, pad), jnp.uint32)], axis=-1
+        )
+    shifts = (jnp.arange(w32 * 32, dtype=jnp.uint32) % 32).reshape(1, 1, w32, 32)
+    words = jnp.sum(
+        bits.reshape(b, hw, w32, 32) << shifts, axis=-1, dtype=jnp.uint32
+    )                                                       # (B, HW, W32)
+    z1 = jnp.zeros((b, 1, w32), jnp.uint32)
+    zw1 = jnp.zeros((b, w + 1, w32), jnp.uint32)
+    t01 = jnp.concatenate([words[:, 1:], z1], axis=1)
+    t10 = jnp.concatenate([words[:, w:], zw1[:, 1:]], axis=1)
+    t11 = jnp.concatenate([words[:, w + 1 :], zw1], axis=1)
+    return jnp.concatenate([words, t01, t10, t11], axis=-1)  # (B, HW, 4*W32)
+
+
+def point_sample_shared_t4_bits(
+    tbl: jax.Array, r: int, h: int, w: int, coords: jax.Array,
+    f32_policy: bool = False,
+) -> jax.Array:
+    """``point_sample_shared_t4`` against a :func:`bit_pack_rows_t` table
+    (binary targets): ONE 4*ceil(R/32)-word row gather per point, bit
+    unpack, then the identical bilinear combine.  Exactly equal to the
+    float corner-packed path — 0/1 values are exact in every dtype."""
+    w32 = tbl.shape[-1] // 4
+    cdt = jnp.float32 if f32_policy else jnp.bfloat16
+    x = coords[:, 0] * w - 0.5
+    y = coords[:, 1] * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    lx = (x - x0).astype(cdt)
+    ly = (y - y0).astype(cdt)
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    idx = jnp.clip(y0i, 0, h - 1) * w + jnp.clip(x0i, 0, w - 1)
+    g = jnp.take(tbl, idx, axis=0)                      # (P, 4*W32) uint32
+    # unpack: constant per-output-lane word index + bit shift
+    word_of = (jnp.arange(r) // 32).astype(jnp.int32)   # (R,)
+    shift_of = (jnp.arange(r, dtype=jnp.uint32) % 32)
+
+    def seg(c):
+        words = jnp.take(g, word_of + c * w32, axis=1)  # (P, R) static perm
+        return ((words >> shift_of[None, :]) & jnp.uint32(1)).astype(cdt)
+
+    g00, g01r, g10r, g11r = seg(0), seg(1), seg(2), seg(3)
+    xneg = (x0i < 0)[:, None]
+    yneg = (y0i < 0)[:, None]
+    v01 = jnp.where(xneg, g00, g01r)
+    v10 = jnp.where(yneg, g00, g10r)
+    v11 = jnp.where(yneg, v01, jnp.where(xneg, g10r, g11r))
+
+    def wgt(dy, dx, wv):
+        yy = y0i + dy
+        xx = x0i + dx
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        return (wv * inb.astype(cdt))[:, None]
+
+    one = jnp.ones((), cdt)
+    out = (
+        g00 * wgt(0, 0, (one - ly) * (one - lx))
+        + v01 * wgt(0, 1, (one - ly) * lx)
+        + v10 * wgt(1, 0, ly * (one - lx))
+        + v11 * wgt(1, 1, ly * lx)
+    )
+    return out.T                                        # (R, P)
+
+
+def sample_maps_packed_bits(
+    tbl: jax.Array, r: int, h: int, w: int, coords: jax.Array,
+    f32_policy: bool = False,
+) -> jax.Array:
+    """Batched ``point_sample_shared_t4_bits``: tbl (B, H*W, 4*ceil(R/32))
+    uint32 bit-packed corner rows, coords (B, P, 2) -> (B, R, P)."""
+    return jax.vmap(
+        lambda t, c: point_sample_shared_t4_bits(t, r, h, w, c, f32_policy)
+    )(tbl, coords)
+
+
 def point_sample_shared(maps: jax.Array, coords: jax.Array) -> jax.Array:
     """Bilinear sampling when ALL rows share one point set.
 

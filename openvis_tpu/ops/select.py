@@ -48,12 +48,24 @@ def kth_largest(x: jax.Array, k: int) -> jax.Array:
     assert k >= 1
     u = _f32_to_ordered_u32(x.astype(jnp.float32))
 
+    # radix-16 descent: 8 passes over the data instead of 32.  Each pass
+    # fixes one hex digit by comparing against the 15 candidate thresholds
+    # thr | (g << shift), g = 1..15, in ONE data read (the count predicate
+    # is monotone in g, so the digit is the largest g whose count >= k).
+    # The op is memory-bound at criterion shapes — 4x fewer passes measured
+    # faster than the extra 15-way compare costs.
+    gs = jnp.arange(1, 16, dtype=jnp.uint32)              # (15,)
+
     def step(i, thr):
-        bit = jnp.uint32(1) << (jnp.uint32(31) - jnp.uint32(i))
-        cand = thr | bit
-        cnt = jnp.sum((u >= cand[..., None]).astype(jnp.int32), axis=-1)
-        return jnp.where(cnt >= k, cand, thr)
+        shift = jnp.uint32(28) - jnp.uint32(4) * jnp.uint32(i)
+        cands = thr[..., None] | (gs << shift)            # (..., 15)
+        cnt = jnp.sum(
+            (u[..., None] >= cands[..., None, :]).astype(jnp.int32), axis=-2
+        )                                                 # (..., 15)
+        ok = cnt >= k
+        digit = jnp.sum(ok.astype(jnp.uint32), axis=-1)   # largest ok g
+        return thr | (digit << shift)
 
     thr0 = jnp.zeros(x.shape[:-1], jnp.uint32)
-    thr = jax.lax.fori_loop(0, 32, step, thr0)
+    thr = jax.lax.fori_loop(0, 8, step, thr0)
     return _ordered_u32_to_f32(thr)

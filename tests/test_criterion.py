@@ -281,6 +281,44 @@ def test_corner_packed_sampling_bitwise_vs_gather_composition():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_bit_packed_sampling_bitwise_vs_gather_composition():
+    """bit_pack_rows_t + sample_maps_packed_bits (the full-res BINARY
+    target path) must be BITWISE equal to the plain-row sampler on 0/1
+    masks, in both sampling policies, including boundary regimes, and for
+    R both off and on a 32-bit word boundary."""
+    from openvis_tpu.ops.point_sample import (
+        bit_pack_rows_t,
+        point_sample_shared_t,
+        sample_maps_packed_bits,
+    )
+
+    rng = np.random.RandomState(1)
+    b, h, w, p = 2, 19, 23, 400
+    pts = rng.rand(b, p, 2).astype(np.float32)
+    pts[:, :4] = [[0.0, 0.0], [1.0, 1.0], [0.0, 1.0], [1.0, 0.0]]
+    pts[:, 4:40, 0] *= 0.03
+    pts[:, 40:80, 1] *= 0.03
+    pts[:, 80:120, 0] = 1.0 - 0.03 * pts[:, 80:120, 0]
+    pts[:, 120:160, 1] = 1.0 - 0.03 * pts[:, 120:160, 1]
+    pts = jnp.asarray(pts)
+
+    for r in (6, 32, 37, 64):
+        flat_t = jnp.asarray(
+            (rng.rand(b, h * w, r) > 0.6).astype(np.float32)
+        )
+        tbl = bit_pack_rows_t(flat_t, h, w)
+        assert tbl.dtype == jnp.uint32
+        assert tbl.shape[-1] == 4 * ((r + 31) // 32)
+        for f32p in (False, True):
+            got = sample_maps_packed_bits(tbl, r, h, w, pts, f32_policy=f32p)
+            want = jax.vmap(
+                lambda t, c: point_sample_shared_t(
+                    t, h, w, c, f32_policy=f32p
+                )
+            )(flat_t.astype(jnp.bfloat16), pts)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_sorted_uniform_points_distribution():
     """sorted_uniform_points must emit y ASCENDING with the exact joint law
     of sorted iid uniforms: order-stat means E[y_(i)] = i/(P+1), uniform

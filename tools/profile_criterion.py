@@ -141,6 +141,25 @@ def main():
         lambda z, t, c: jnp.sum(sample_maps_packed(t, TH, TW, c * z))
     ), tgt_pk, pts_m))
 
+    # --- BIT-packed target gathers (one lane-tile row per point; binary
+    # masks, r5) — the criterion's current default packed layout
+    from openvis_tpu.ops.point_sample import (
+        bit_pack_rows_t, sample_maps_packed_bits,
+    )
+
+    nrow = tgt_t.shape[-1]
+    tgt_bits = bit_pack_rows_t(tgt_t, TH, TW)            # (B, TH*TW, 4*W32)
+    emit("gather_tgt_bits_loss40768", _t(_chain(
+        lambda z, t, c: jnp.sum(
+            sample_maps_packed_bits(t, nrow, TH, TW, c * z)
+        )
+    ), tgt_bits, pts_l))
+    emit("gather_tgt_bits_match12544", _t(_chain(
+        lambda z, t, c: jnp.sum(
+            sample_maps_packed_bits(t, nrow, TH, TW, c * z)
+        )
+    ), tgt_bits, pts_m))
+
     # --- the per-layer point-pool sorts (3-array union sort + matcher sort)
     raw = jax.random.uniform(key, (B, pp_loss, 2), dtype=jnp.float32)
     mk = jnp.ones((B, pp_loss), jnp.float32)

@@ -150,6 +150,7 @@ def main(tiny=False):
     ), apbf, fraw))
 
     mg, bk, grid = jax.jit(front_encode)(apbf, fraw)
+    grid = tuple(int(g) for g in grid)  # post_encode needs static ints
     l = cfg.model.transformer_decoder.dec_layers + 1
     nh = ca.clip_num_heads
     q = cfg.model.transformer_decoder.num_queries
