@@ -1208,13 +1208,104 @@ def _fused_dcoord_rr_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
     dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
 
 
+def _fused_dcoord_rr_sub_kernel(bounds_ref, y_ref, x_ref, a_ref, g_ref, *refs,
+                                levels, p: int, bq: int, rr: int, ct,
+                                sub: int):
+    """``_fused_dcoord_rr_kernel`` with ``sub`` QUERY SUB-BLOCKS per program.
+
+    Motivation (BASELINE.md round-5): the walk cost scales ~ lq * hull(bq)
+    — per-program row hulls widen superlinearly with the query block (bq
+    128 -> 256 measured 10.34 -> 15.86 ms/call), but bq < 128 is blocked
+    by the out-spec's 128-lane rule.  Here each bq=128 program processes
+    ``sub`` independent bq/sub slices with their OWN walk bounds, so the
+    hull tightens to hull(bq/sub) while the launch grid and output tiling
+    stay at bq=128.  Per-(si, lvl) tents reuse one bqs-sized scratch; the
+    finalize writes each slice's lanes of the (nl*p, bq) row scratches."""
+    nl = len(levels)
+    v_refs = refs[:nl]
+    da_ref, dy_ref, dx_ref = refs[nl], refs[nl + 1], refs[nl + 2]
+    txx_refs = refs[nl + 3 : nl + 3 + nl]
+    dyl_ref = refs[nl + 3 + nl]
+    s_da, s_dy, s_dx = refs[nl + 4 + nl :]
+
+    prec = (jax.lax.Precision.DEFAULT if ct == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST)
+    bqs = bq // sub
+    ch = g_ref.shape[-1]
+    rrch = rr * ch
+    lane_ri = (
+        jax.lax.broadcasted_iota(jnp.int32, (bqs, rrch), 1) // ch
+    ).astype(jnp.float32)
+
+    for si in range(sub):
+        qs = slice(si * bqs, (si + 1) * bqs)
+        g = g_ref[0, qs].astype(jnp.float32)              # (BQS, ch)
+        g4 = jnp.concatenate([g] * rr, axis=1)            # (BQS, rr*ch)
+
+        for lvl, (h, w, wp, pk) in enumerate(levels):
+            txx_ref = txx_refs[lvl]
+            jj = jax.lax.broadcasted_iota(
+                jnp.int32, (bqs, wp), 1
+            ).astype(jnp.float32)
+            for pi in range(p):
+                xq = x_ref[0, qs, lvl * p + pi][:, None]  # (BQS, 1)
+                dxx = xq - jj
+                txx_ref[pi * bqs : (pi + 1) * bqs, :] = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(dxx)
+                ).astype(ct)
+                txx_ref[(p + pi) * bqs : (p + pi + 1) * bqs, :] = jnp.where(
+                    jnp.abs(dxx) < 1.0, -jnp.sign(dxx), 0.0
+                ).astype(ct)
+            txx = txx_ref[:]
+
+            for pi in range(p):
+                dyl_ref[pi * bqs : (pi + 1) * bqs, :] = (
+                    y_ref[0, qs, lvl * p + pi][:, None] - lane_ri
+                )
+            dyl = dyl_ref[:]                              # (P*BQS, rr*ch)
+
+            lo = bounds_ref[0, 0, si, lvl, 0]
+            hi = bounds_ref[0, 0, si, lvl, 1]
+
+            def body(rb, carry, dyl=dyl, txx=txx, lvl=lvl):
+                acc_s, acc_y, acc_x = carry
+                vblk = v_refs[lvl][0, rb].astype(ct)      # (wp, rr*ch)
+                ddp = jnp.dot(
+                    txx, vblk, preferred_element_type=jnp.float32,
+                    precision=prec,
+                )                                         # (2P*BQS, rr*ch)
+                dy_t = dyl - (rb * rr).astype(jnp.float32)
+                ady = jnp.abs(dy_t)
+                ty = jnp.maximum(0.0, 1.0 - ady)
+                typ = jnp.where(ady < 1.0, -jnp.sign(dy_t), 0.0)
+                d, dp = ddp[: p * bqs], ddp[p * bqs :]
+                return (acc_s + ty * d, acc_y + typ * d, acc_x + ty * dp)
+
+            zero = jnp.zeros((p * bqs, rrch), jnp.float32)
+            acc_s, acc_y, acc_x = jax.lax.fori_loop(
+                lo, hi, body, (zero, zero, zero), unroll=False
+            )
+
+            for pi in range(p):
+                aq = a_ref[0, qs, lvl * p + pi]
+                blk = slice(pi * bqs, (pi + 1) * bqs)
+                s_da[lvl * p + pi, qs] = jnp.sum(acc_s[blk] * g4, axis=1)
+                s_dy[lvl * p + pi, qs] = aq * jnp.sum(acc_y[blk] * g4, axis=1)
+                s_dx[lvl * p + pi, qs] = aq * jnp.sum(acc_x[blk] * g4, axis=1)
+
+    da_ref[0] = s_da[:].astype(da_ref.dtype)
+    dy_ref[0] = s_dy[:].astype(dy_ref.dtype)
+    dx_ref[0] = s_dx[:].astype(dx_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("spatial_shapes", "bq", "rr",
                                              "interpret", "parts",
-                                             "dcoord_pack", "dcoord_rr"))
+                                             "dcoord_pack", "dcoord_rr",
+                                             "dcoord_sub"))
 def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
                     rr: int = 4, interpret: bool = False,
                     parts=("dvalue", "dcoord"), dcoord_pack: bool = False,
-                    dcoord_rr: bool = True):
+                    dcoord_rr: bool = True, dcoord_sub: int = 1):
     # bq=128 (fwd uses 256): the x-first dCoord kernel's per-program live
     # set (stacked tent scratch, 3P fori-carried (BQ, ch) accumulators, the
     # merged (2P*BQ, ch) dot output — all lane-padded) scales with BQ and
@@ -1292,14 +1383,37 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
         da, dy, dx = z, z, z
     else:
         rr_lanes = dcoord_rr and not dcoord_pack
-        kern = _fused_dcoord_rr_kernel if rr_lanes else _fused_dcoord_kernel
+        sub = dcoord_sub if rr_lanes else 1
+        if sub > 1:
+            # walk bounds at SUB-block granularity (see the sub kernel):
+            # (bn, nqb, sub, nl, 2), hulls of bq/sub-query slices
+            bqs = bq // sub
+            subs = []
+            for lvl, (h_l, w_l, _, pk_) in enumerate(c_meta):
+                hp_l = _round_up(-(-h_l // pk_), rr)
+                subs.append(_row_block_bounds(
+                    y_all[:, :, lvl], nqb * sub, bqs, rr, hp_l // rr
+                ))
+            c_bounds = jnp.stack(subs, axis=2).reshape(
+                bn, nqb, sub, nl, 2
+            )
+            kern = functools.partial(_fused_dcoord_rr_sub_kernel, sub=sub)
+            bounds_spec = pl.BlockSpec(
+                (1, 1, sub, nl, 2), lambda b_, q: (b_, q, 0, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
+        else:
+            kern = _fused_dcoord_rr_kernel if rr_lanes else _fused_dcoord_kernel
+            bounds_spec = pl.BlockSpec(
+                (1, 1, nl, 2), lambda b_, q: (b_, q, 0, 0),
+                memory_space=pltpu.SMEM,
+            )
         da, dy, dx = pl.pallas_call(
             functools.partial(kern, levels=tuple(c_meta),
                               p=p, bq=bq, rr=rr, ct=ct),
             grid=(bn, nqb),
             in_specs=[
-                pl.BlockSpec((1, 1, nl, 2), lambda b_, q: (b_, q, 0, 0),
-                             memory_space=pltpu.SMEM),
+                bounds_spec,
                 coord_spec, coord_spec, coord_spec,
                 pl.BlockSpec((1, bq, ch), lambda b_, q: (b_, q, 0)),
             ] + [
@@ -1314,14 +1428,16 @@ def _msda_bwd_fused(value, loc, attn, g, spatial_shapes, bq: int = 128,
             ],
             scratch_shapes=[
                 # per-level exact-width tents (tx stacked over txp — ONE
-                # scratch so the x-first walk dots both in one MXU issue)
-                pltpu.VMEM((2 * p * bq, wp_l), ct)
+                # scratch so the x-first walk dots both in one MXU issue);
+                # the sub kernel reuses a bq/sub-sized scratch per slice
+                pltpu.VMEM((2 * p * (bq // sub), wp_l), ct)
                 for _, _, wp_l, _ in c_meta
             ] + (
                 # rr kernel: the hoisted (P*BQ, rr*ch) DYL table scratch.
                 # x-first kernel: sval serves only PACKED levels (see
                 # kernel) — omit it otherwise: the scoped-VMEM cliff.
-                [pltpu.VMEM((p * bq, rr * ch), jnp.float32)] if rr_lanes
+                [pltpu.VMEM((p * (bq // sub), rr * ch), jnp.float32)]
+                if rr_lanes
                 else (
                     [pltpu.VMEM((3 * p, bq, ch), jnp.float32)]
                     if any(pk_ > 1 for _, _, _, pk_ in c_meta) else []

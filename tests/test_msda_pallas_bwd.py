@@ -80,3 +80,32 @@ def test_backward_fused_matches_xla_vjp(monkeypatch, encoder_shaped):
                                rtol=1e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dcoord_sub_blocked_bitwise():
+    """The sub-blocked dCoord walk (dcoord_sub=2|4 — per-slice bounds inside
+    each bq program; measured-worse-but-kept variant, BASELINE.md r5) must
+    be BITWISE equal to the sub=1 rr kernel."""
+    from openvis_tpu.ops.msda_pallas import _msda_bwd_fused
+
+    rng = np.random.RandomState(3)
+    levels = ((12, 20), (6, 10), (3, 5))
+    b, nh, ch, p = 2, 2, 32, 4
+    lq = sum(h * w for h, w in levels)
+    value = jnp.asarray(
+        rng.randn(b, lq, nh, ch).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    loc = jnp.asarray(rng.rand(b, lq, nh, 3, p, 2).astype(np.float32))
+    attn = jnp.asarray(rng.rand(b, lq, nh, 3, p).astype(np.float32))
+    g = jnp.asarray(
+        rng.randn(b, lq, nh * ch).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    ref = _msda_bwd_fused(value, loc, attn, g, levels, interpret=True)
+    for sub in (2, 4):
+        got = _msda_bwd_fused(value, loc, attn, g, levels, interpret=True,
+                              dcoord_sub=sub)
+        for a, bref in zip(got, ref):
+            np.testing.assert_array_equal(
+                np.asarray(a, np.float32), np.asarray(bref, np.float32)
+            )

@@ -109,21 +109,25 @@ def bench_parts(tag, b, levels, dtype, iters=6):
     ).reshape(b, lq, nh, nl, p)
     g = jnp.asarray(rng.randn(b, lq, nh * ch).astype(np.float32)).astype(dtype)
 
-    for name, parts, dck, drr, bq in (
-            ("dvalue", ("dvalue",), False, True, 128),
-            ("dcoord_rr", ("dcoord",), False, True, 128),
+    for name, parts, dck, drr, bq, dsub in (
+            ("dvalue", ("dvalue",), False, True, 128, 1),
+            ("dcoord_rr", ("dcoord",), False, True, 128, 1),
+            # sub-blocked walks: hull(bq/sub) per slice, launch grid kept
+            ("dcoord_rr_sub2", ("dcoord",), False, True, 128, 2),
+            ("dcoord_rr_sub4", ("dcoord",), False, True, 128, 4),
             # bq256 measured WORSE (15.86 vs 10.34 ms: query hulls widen);
             # bq64 is illegal (out_spec minor dim must be 128-divisible)
-            ("dcoord_rr_bq256", ("dcoord",), False, True, 256),
-            ("dcoord_xfirst", ("dcoord",), False, False, 128),
-            ("dcoord_packed", ("dcoord",), True, False, 128),
-            ("both", ("dvalue", "dcoord"), False, True, 128)):
-        def chain(v, l, a, gg, parts=parts, dck=dck, drr=drr, bq=bq):
+            ("dcoord_rr_bq256", ("dcoord",), False, True, 256, 1),
+            ("dcoord_xfirst", ("dcoord",), False, False, 128, 1),
+            ("dcoord_packed", ("dcoord",), True, False, 128, 1),
+            ("both", ("dvalue", "dcoord"), False, True, 128, 1)):
+        def chain(v, l, a, gg, parts=parts, dck=dck, drr=drr, bq=bq,
+                  dsub=dsub):
             s = jnp.zeros((), jnp.float32)
             for _ in range(CH):
                 outs = _msda_bwd_fused(
                     v + s.astype(v.dtype) * 0, l, a, gg, levels, parts=parts,
-                    dcoord_pack=dck, dcoord_rr=drr, bq=bq,
+                    dcoord_pack=dck, dcoord_rr=drr, bq=bq, dcoord_sub=dsub,
                 )
                 s = s + sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
             return s
