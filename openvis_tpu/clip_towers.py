@@ -203,6 +203,12 @@ def clip_crop_scores(
     per-video-consistent query order; returns ``(logits (T, Q, K'),
     valid (T, Q))`` over the REAL frames only."""
     lgs, vds = [], []
+    # masks may arrive BUCKET-padded past the real frame count (the engine
+    # aligns (Tb, Q, h, w) stacks); truncate to t so every chunk pairs each
+    # mask with ITS frame — the pre-r5 gather path silently clamped the
+    # phantom frames' image indices instead (harmless only because [:keep]
+    # dropped those rows)
+    masks_tq = masks_tq[:t]
     for i in range(0, t, window):
         chunk = raw_frames[i : i + window]
         pad = window - len(chunk)
