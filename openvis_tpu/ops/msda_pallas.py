@@ -28,12 +28,22 @@ against the XLA composition's autodiff.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Backward-path y-stripe toggle (see ms_deform_attn_pallas_bwd).  In a
+# STANDALONE bwd call the stripe's loc/attn/g permutation + dloc/dattn
+# inverse (concat-of-45-slices x5 arrays) cost more than the hull savings
+# (micro: unstriped both-parts 14.6 ms vs striped full bwd ~24), but in the
+# COMPOSED train step those concats fuse into surrounding ops and striping
+# still wins (A/B on bench.py train step: striped 239.9 vs unstriped 255.3
+# ms/step — BASELINE.md round-5).  Env hatch: OPENVIS_MSDA_STRIPE=0.
+_STRIPE_BWD = os.environ.get("OPENVIS_MSDA_STRIPE", "1") == "1"
 
 
 def _round_up(a: int, b: int) -> int:
@@ -1822,7 +1832,7 @@ def ms_deform_attn_pallas_bwd(value, spatial_shapes, loc, attn, g,
     # the dCoord row intervals and dValue q-block flags tighten like the
     # forward; dvalue indexes VALUE positions (raster) and needs no unpermute
     stripes = None
-    if lq == len_in:
+    if _STRIPE_BWD and lq == len_in:
         n_stripes = max(1, min(min(h for h, _ in spatial_shapes), 16))
         stripes = _stripe_plan(
             tuple(tuple(s) for s in spatial_shapes), n_stripes

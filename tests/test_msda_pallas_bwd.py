@@ -49,15 +49,19 @@ def test_backward_matches_xla_vjp(seed):
         np.testing.assert_allclose(np.asarray(da), np.asarray(da_ref), rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("encoder_shaped", [False, True])
-def test_backward_fused_matches_xla_vjp(monkeypatch, encoder_shaped):
+@pytest.mark.parametrize("encoder_shaped,stripe", [
+    (False, False), (True, False), (True, True),
+])
+def test_backward_fused_matches_xla_vjp(monkeypatch, encoder_shaped, stripe):
     """Default (level_impl=None) backward routes through the fused
     all-level dCoord + shared-prep dValue path; encoder-shaped inputs
-    (lq == len_in) additionally exercise the y-stripe round trip."""
+    (lq == len_in) with ``stripe`` additionally exercise the y-stripe round
+    trip (default off since round 5 — the OPENVIS_MSDA_STRIPE hatch)."""
     monkeypatch.setattr(
         MP, "_msda_bwd_fused",
         functools.partial(MP._msda_bwd_fused.__wrapped__, interpret=True),
     )
+    monkeypatch.setattr(MP, "_STRIPE_BWD", stripe)
     rng = np.random.RandomState(11 if encoder_shaped else 7)
     shapes = ((8, 9), (4, 5), (2, 3))
     L = sum(h * w for h, w in shapes)
